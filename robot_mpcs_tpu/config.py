@@ -1,0 +1,160 @@
+"""Typed configuration schema for MPC problems.
+
+Mirrors the YAML schema of the reference framework (see reference
+``robotmpcs/models/mpcBase.py:7-31`` ``MpcConfiguration``/``RobotConfiguration``
+and ``examples/config/*.yaml``) so that existing config files load unchanged,
+and adds a TPU-solver section (``SolverConfiguration``) that replaces the
+ForcesPro ``CodeOptions`` (reference ``robotmpcs/models/mpcModel.py:110-126``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class MpcConfiguration:
+    """The ``mpc:`` section of a setup YAML.
+
+    Field-for-field compatible with reference ``mpcBase.py:7-22``.
+    """
+
+    time_horizon: int
+    time_step: float
+    weights: Dict[str, Any]
+    slack: bool
+    interval: int
+    constraints: List[str]
+    objectives: List[str]
+    number_obstacles: int
+    model_name: str
+    initialization: str
+    n: int
+    control_mode: str
+    name: str = "mpc"
+    debug: bool = False
+
+    def __post_init__(self) -> None:
+        if self.time_horizon < 2:
+            raise ValueError("time_horizon must be >= 2")
+        if self.control_mode not in ("acc", "vel"):
+            raise ValueError(f"control_mode must be 'acc' or 'vel', got {self.control_mode!r}")
+        if self.initialization not in ("current_state", "previous_plan", "zeros"):
+            raise ValueError(f"unknown initialization {self.initialization!r}")
+
+
+@dataclass
+class RobotConfiguration:
+    """The ``robot:`` section of a setup YAML (reference ``mpcBase.py:24-31``)."""
+
+    collision_links: List[str]
+    selfCollision: Dict[str, Any]
+    urdf_file: str
+    root_link: str
+    end_link: str
+    base_type: str
+
+    def __post_init__(self) -> None:
+        if self.base_type not in ("holonomic", "diffdrive"):
+            raise ValueError(f"base_type must be 'holonomic' or 'diffdrive', got {self.base_type!r}")
+
+    @property
+    def self_collision_pairs(self) -> List[List[str]]:
+        return list(self.selfCollision.get("pairs", []) or [])
+
+
+@dataclass
+class SolverConfiguration:
+    """Solver knobs for the in-house batched AL-iLQR solver.
+
+    This replaces the reference's ForcesPro ``CodeOptions`` block
+    (``mpcModel.py:117-126``: ERK2 integrator, Ts, 5 nodes, opt/print level).
+    All values have defaults so the section is optional in YAML.
+    """
+
+    #: Explicit RK2 (midpoint) integration substeps per control interval.
+    #: The reference uses ForcesPro's ERK2 with 5 nodes (mpcModel.py:118-120),
+    #: i.e. 4 integration sub-intervals over Ts = dt.
+    integrator: str = "erk2"
+    integrator_substeps: int = 4
+    #: Outer augmented-Lagrangian iterations (multiplier/penalty updates).
+    max_al_iterations: int = 6
+    #: Inner iLQR iterations per AL iteration.
+    max_ilqr_iterations: int = 8
+    #: Line-search step candidates (powers of line_search_decay from 1.0).
+    line_search_steps: int = 8
+    line_search_decay: float = 0.5
+    #: Initial / growth / max penalty for the AL method.
+    penalty_initial: float = 10.0
+    penalty_scale: float = 10.0
+    penalty_max: float = 1.0e8
+    #: Levenberg-Marquardt regularization bounds for the Riccati sweep.
+    reg_initial: float = 1.0e-6
+    reg_min: float = 1.0e-9
+    reg_max: float = 1.0e8
+    #: Convergence tolerances: gradient norm and max constraint violation.
+    tol_gradient: float = 1.0e-6
+    tol_constraint: float = 1.0e-5
+    #: Compute dtype for the solver. f32 is the TPU-native choice; the tiny
+    #: stage matrices (nz <= 24) make f32 accuracy sufficient in practice.
+    dtype: str = "float32"
+
+    def __post_init__(self) -> None:
+        if self.integrator not in ("erk2", "erk4", "euler"):
+            raise ValueError(f"unknown integrator {self.integrator!r}")
+
+
+def _filter_kwargs(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass
+class Setup:
+    """A fully parsed setup file: mpc + robot + solver + example sections."""
+
+    mpc: MpcConfiguration
+    robot: RobotConfiguration
+    solver: SolverConfiguration = field(default_factory=SolverConfiguration)
+    example: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Setup":
+        return cls(
+            mpc=MpcConfiguration(**_filter_kwargs(MpcConfiguration, d["mpc"])),
+            robot=RobotConfiguration(**_filter_kwargs(RobotConfiguration, d["robot"])),
+            solver=SolverConfiguration(**_filter_kwargs(SolverConfiguration, d.get("solver", {}))),
+            example=dict(d.get("example", {})),
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "mpc": dataclasses.asdict(self.mpc),
+            "robot": dataclasses.asdict(self.robot),
+            "solver": dataclasses.asdict(self.solver),
+            "example": dict(self.example),
+        }
+
+
+def parse_setup(setup_file: str) -> Dict[str, Any]:
+    """Load a raw setup YAML (reference ``robotmpcs/utils/utils.py:5-8``)."""
+    with open(setup_file, "r") as stream:
+        return yaml.safe_load(stream)
+
+
+def load_setup(setup_file: str, urdf_dir: Optional[str] = None) -> Setup:
+    """Parse a setup YAML into typed configuration objects.
+
+    ``urdf_dir``: optional directory to resolve a relative ``robot.urdf_file``
+    against (the reference resolves it relative to its assets dir in
+    ``examples/makeSolver.py:16``).
+    """
+    raw = parse_setup(setup_file)
+    setup = Setup.from_dict(raw)
+    if urdf_dir is not None and not setup.robot.urdf_file.startswith("/"):
+        setup.robot.urdf_file = f"{urdf_dir}/{setup.robot.urdf_file}"
+    return setup

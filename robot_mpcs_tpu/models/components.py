@@ -1,0 +1,92 @@
+"""Base machinery for cost/constraint components.
+
+The reference resolves component class names from config strings via
+reflection (``InequalityManager.py:17-21``, ``ObjectiveManager.py:20-26``);
+here components are pure functions over ``(z, p)`` registered in explicit
+registries (see ``inequalities.py`` / ``objectives.py``), each returning
+fixed-shape arrays so the whole stage evaluation is vmappable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax.numpy as jnp
+
+from robot_mpcs_tpu.config import MpcConfiguration, RobotConfiguration
+from robot_mpcs_tpu.models.dimensions import ProblemDimensions
+from robot_mpcs_tpu.models.fk import RobotKinematics
+from robot_mpcs_tpu.models.params import ParamMap
+
+
+@dataclass
+class ModelContext:
+    """Static (trace-time) context shared by all components of one problem."""
+
+    dims: ProblemDimensions
+    kin: RobotKinematics
+    mpc: MpcConfiguration
+    robot: RobotConfiguration
+
+    @property
+    def collision_links(self) -> List[str]:
+        return list(self.robot.collision_links)
+
+    @property
+    def self_collision_pairs(self) -> List[List[str]]:
+        return self.robot.self_collision_pairs
+
+
+class StageComponent:
+    """A cost or constraint term evaluated per stage on ``(z, p)``.
+
+    Subclasses declare parameters in ``register_params`` (run once, in config
+    order — this fixes the paramMap ABI) and implement ``eval_*``.
+    """
+
+    name: str = "component"
+
+    def __init__(self, ctx: ModelContext):
+        self.ctx = ctx
+        self.dims = ctx.dims
+
+    def register_params(self, pm: ParamMap) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class InequalityComponent(StageComponent):
+    #: number of inequality rows this component contributes per stage
+    n_ineq: int = 0
+
+    def eval_constraint(self, z: jnp.ndarray, p: jnp.ndarray, pm: ParamMap) -> jnp.ndarray:
+        """Return ``(n_ineq,)`` values, feasible iff >= 0."""
+        raise NotImplementedError
+
+
+class ObjectiveComponent(StageComponent):
+    def eval_objective(self, z: jnp.ndarray, p: jnp.ndarray, pm: ParamMap) -> jnp.ndarray:
+        """Return a scalar stage cost."""
+        raise NotImplementedError
+
+
+def obstacle_distances(
+    ctx: ModelContext, q: jnp.ndarray, p: jnp.ndarray, pm: ParamMap
+) -> jnp.ndarray:
+    """Signed clearances between collision links and sphere obstacles.
+
+    Reference ``mpcBase.py:82-101`` (``eval_obstacleDistances``): for each
+    collision link (outer) and obstacle slot (inner),
+    ``||fk(q, link) - obst_pos|| - obst_radius - r_body``. Obstacle slots
+    hold ``[x, y, z, radius]``; empty slots use the -100 sentinel padding
+    which makes the clearance large and inactive. Returns
+    ``(n_links * n_obst,)`` in link-major order.
+    """
+    dims = ctx.dims
+    obst = pm.get(p, "obst").reshape(dims.n_obst, dims.m_obst + 1)
+    r_body = pm.get(p, "r_body")[0]
+    fk_pos = ctx.kin.fk_pos_links(q, ctx.collision_links)  # (L, 3)
+    diff = fk_pos[:, None, :] - obst[None, :, : dims.m_obst]  # (L, n_obst, 3)
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    clearance = dist - obst[None, :, dims.m_obst] - r_body
+    return clearance.reshape(-1)

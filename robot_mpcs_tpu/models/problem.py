@@ -1,0 +1,294 @@
+"""MPC problem assembly: the TPU-native ``MpcModel``.
+
+Mirrors the role of reference ``robotmpcs/models/mpcModel.py`` (and
+``diff_drive_mpc_model.py``): given a parsed setup, build
+
+* the kinematics + dimensions,
+* the inequality/objective component stacks (in config order — this fixes
+  the ``paramMap`` parameter ABI, see ``params.py``),
+* the stage cost / stage inequality / discrete dynamics functions consumed
+  by the solver,
+* the variable bounds (default box +-100 as in ``mpcModel.py:23-27``),
+
+and persist/load the offline "solver artifact" directory
+(``generate_solver``), replacing ForcesPro codegen with ahead-of-time
+``jax.jit`` compilation plus serialized problem metadata
+(paramMap.yaml / properties.yaml exactly as ``mpcModel.py:132-141``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from robot_mpcs_tpu.assets import builtin_model
+from robot_mpcs_tpu.config import Setup, SolverConfiguration
+from robot_mpcs_tpu.models.components import ModelContext
+from robot_mpcs_tpu.models.dimensions import ProblemDimensions
+from robot_mpcs_tpu.models.dynamics import make_discrete_dynamics
+from robot_mpcs_tpu.models.fk import RobotKinematics
+from robot_mpcs_tpu.models.inequalities import INEQUALITY_REGISTRY
+from robot_mpcs_tpu.models.objectives import OBJECTIVE_REGISTRY, ConstraintAvoidance
+from robot_mpcs_tpu.models.params import ParamMap
+from robot_mpcs_tpu.models.urdf import UrdfModel, load_urdf
+
+
+class MpcProblem:
+    """A fully-assembled, trace-ready MPC problem for one robot/config."""
+
+    def __init__(self, setup: Setup, urdf_model: Optional[UrdfModel] = None):
+        self.setup = setup
+        self.mpc = setup.mpc
+        self.robot = setup.robot
+        if urdf_model is None:
+            urdf_model = self._resolve_urdf(setup.robot.urdf_file)
+        self.urdf_model = urdf_model
+        self.kin = RobotKinematics(
+            urdf_model, self.robot.root_link, self.robot.end_link, self.robot.base_type
+        )
+        self.dims = ProblemDimensions.build(
+            n_arm=self.kin.n_arm,
+            base_type=self.robot.base_type,
+            N=self.mpc.time_horizon,
+            slack=self.mpc.slack,
+            n_obst=self.mpc.number_obstacles,
+        )
+        if self.dims.n != self.mpc.n:
+            raise ValueError(
+                f"config mpc.n = {self.mpc.n} does not match URDF-derived n = {self.dims.n}"
+            )
+        self.ctx = ModelContext(self.dims, self.kin, self.mpc, self.robot)
+
+        # --- components + parameter registration (order = ABI) ------------
+        # Reference order (mpcModel.py:29-36 + ObjectiveManager.py:14):
+        # constraints (config order) -> "wu" -> objectives (config order).
+        self.param_map = ParamMap()
+        self.ineq_components = []
+        for name in self.mpc.constraints:
+            comp = INEQUALITY_REGISTRY[name](self.ctx)
+            comp.register_params(self.param_map)
+            self.ineq_components.append(comp)
+        self.param_map.register("wu", self.dims.nu)
+        if self.mpc.slack:
+            # ws is read by the objective assembly when ns > 0
+            # (ObjectiveManager.py:38-41); registered here since the modern
+            # objective set never registers it (reference gap).
+            self.param_map.register("ws", 1)
+        self.obj_components = []
+        for name in self.mpc.objectives:
+            cls = OBJECTIVE_REGISTRY[name]
+            if cls is ConstraintAvoidance:
+                comp = cls(self.ctx, self.ineq_components)
+            else:
+                comp = cls(self.ctx)
+            comp.register_params(self.param_map)
+            self.obj_components.append(comp)
+
+        self.n_ineq = sum(c.n_ineq for c in self.ineq_components)
+
+        # --- bounds (mpcModel.py:23-27, 91-104) ----------------------------
+        self.limits = {
+            "x": {"low": np.full(self.dims.nx, -100.0), "high": np.full(self.dims.nx, 100.0)},
+            "u": {"low": np.full(self.dims.nu, -100.0), "high": np.full(self.dims.nu, 100.0)},
+            "s": {"low": np.zeros(1), "high": np.full(1, np.inf)},
+        }
+
+        self.dt = self.mpc.time_step
+        self.dynamics = make_discrete_dynamics(
+            self.dims,
+            self.dt,
+            integrator=setup.solver.integrator,
+            substeps=setup.solver.integrator_substeps,
+        )
+
+    @staticmethod
+    def _resolve_urdf(urdf_file: str) -> UrdfModel:
+        """Load a URDF path, or fall back to a builtin robot by stem name."""
+        if os.path.exists(urdf_file):
+            return load_urdf(urdf_file)
+        stem = os.path.splitext(os.path.basename(urdf_file))[0]
+        for candidate in (stem, stem.replace("_fk", "")):
+            try:
+                return builtin_model(candidate)
+            except KeyError:
+                pass
+        raise FileNotFoundError(f"URDF {urdf_file!r} not found and not a builtin robot")
+
+    # ------------------------------------------------------------------ API
+
+    def set_limits(self, limits: Dict[str, Dict[str, np.ndarray]]) -> None:
+        """Override variable bounds (reference ``setLimits``, mpcModel.py:62-63)."""
+        self.limits.update(limits)
+
+    @property
+    def npar(self) -> int:
+        return self.param_map.npar
+
+    @property
+    def solver_name(self) -> str:
+        """Solver directory name, minted exactly like ``mpcModel.py:111-116``
+        so reference-named artifacts interoperate."""
+        name = (
+            f"{self.mpc.model_name}_n{self.dims.n}_"
+            f"{str(self.dt).replace('.', '')}_H{self.dims.N}"
+        )
+        if not self.mpc.slack:
+            name += "_noSlack"
+        return name
+
+    def properties(self) -> Dict:
+        """The properties.yaml payload (reference ``mpcModel.py:134``)."""
+        return {
+            "nx": self.dims.nx,
+            "nu": self.dims.nu,
+            "npar": self.npar,
+            "ns": self.dims.ns,
+            "m": self.dims.m,
+            "constraints": list(self.mpc.constraints),
+        }
+
+    # --------------------------------------------------- stage functions
+
+    def stage_objective(self, z: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        """Total stage cost: modules + u'diag(wu)u + ws s^2
+        (reference ``ObjectiveManager.eval_objectives``, :28-42).
+        Terminal cost is identical (``eval_objectiveN``, :44-46)."""
+        pm = self.param_map
+        total = jnp.zeros((), dtype=z.dtype)
+        for comp in self.obj_components:
+            total = total + comp.eval_objective(z, p, pm)
+        _, s, u = self.dims.split_z(z)
+        total = total + jnp.sum(pm.get(p, "wu") * u * u)
+        if self.dims.ns > 0:
+            total = total + pm.get(p, "ws")[0] * s[0] ** 2
+        return total
+
+    def stage_inequalities(self, z: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        """Concatenated module inequalities, slack-shifted when ns > 0
+        (the documented intent of ``InequalityManager.eval_inequalities``)."""
+        pm = self.param_map
+        rows = [c.eval_constraint(z, p, pm) for c in self.ineq_components]
+        out = (
+            jnp.concatenate(rows)
+            if rows
+            else jnp.zeros((0,), dtype=z.dtype)
+        )
+        if self.dims.ns > 0:
+            out = out + z[self.dims.nx]
+        return out
+
+    # ----------------------------------------------------- solver wiring
+
+    def bound_rows(self) -> List:
+        """Static list of finite bound rows folded into the AL constraint
+        stack: (index into z, sign, bound). Mirrors the lb/ub stacking of
+        ``mpcModel.py:91-104``; infinite bounds are dropped at trace time."""
+        dims = self.dims
+        lb = np.concatenate(
+            [self.limits["x"]["low"]]
+            + ([self.limits["s"]["low"]] if dims.ns else [])
+            + [self.limits["u"]["low"]]
+        )
+        ub = np.concatenate(
+            [self.limits["x"]["high"]]
+            + ([self.limits["s"]["high"]] if dims.ns else [])
+            + [self.limits["u"]["high"]]
+        )
+        rows = []
+        for i in range(dims.nz):
+            if np.isfinite(lb[i]):
+                rows.append((i, +1.0, float(lb[i])))  # z_i - lb >= 0
+            if np.isfinite(ub[i]):
+                rows.append((i, -1.0, float(ub[i])))  # ub - z_i >= 0
+        return rows
+
+    @property
+    def n_con(self) -> int:
+        """Total AL constraint rows per stage (module ineqs + bound rows)."""
+        return self.n_ineq + len(self.bound_rows())
+
+    def solver_callbacks(self):
+        """(dynamics, cost, ineq) in the solver's (x, w, p) calling convention
+        with w = [s, u]; plus (w_lb, w_ub) clamp bounds."""
+        dims = self.dims
+        rows = self.bound_rows()
+        idx = np.array([r[0] for r in rows], dtype=np.int32)
+        sign = np.array([r[1] for r in rows], dtype=np.float32)
+        bnd = np.array([r[2] for r in rows], dtype=np.float32)
+
+        def cost(x, w, p):
+            z = jnp.concatenate([x, w])
+            return self.stage_objective(z, p)
+
+        def ineq(x, w, p):
+            z = jnp.concatenate([x, w])
+            mod = self.stage_inequalities(z, p)
+            if len(rows) == 0:
+                return mod
+            b = sign * (z[idx] - bnd)
+            return jnp.concatenate([mod, b])
+
+        w_lb = np.concatenate(
+            ([self.limits["s"]["low"]] if dims.ns else []) + [self.limits["u"]["low"]]
+        )
+        w_ub = np.concatenate(
+            ([self.limits["s"]["high"]] if dims.ns else []) + [self.limits["u"]["high"]]
+        )
+        return self.dynamics, cost, ineq, w_lb.astype(np.float32), w_ub.astype(np.float32)
+
+    def build_solver(self, cfg: Optional[SolverConfiguration] = None) -> Callable:
+        """Build the batched NLP solve function for this problem."""
+        from robot_mpcs_tpu.solver.al_ilqr import build_solver
+
+        dynamics, cost, ineq, w_lb, w_ub = self.solver_callbacks()
+        return build_solver(
+            dynamics,
+            cost,
+            ineq,
+            nx=self.dims.nx,
+            ns=self.dims.ns,
+            nu=self.dims.nu,
+            N=self.dims.N,
+            n_con=self.n_con,
+            w_lb=w_lb,
+            w_ub=w_ub,
+            cfg=cfg or self.setup.solver,
+        )
+
+    # ----------------------------------------------------- artifact I/O
+
+    def generate_solver(self, location: str = "./") -> str:
+        """Persist the solver artifact directory (reference
+        ``generateSolver``, mpcModel.py:128-141): paramMap.yaml +
+        properties.yaml + the full setup. Returns the artifact path.
+
+        There is no native codegen step to run here — compilation happens
+        via ``jax.jit`` at first use (and is cached by XLA's persistent
+        compilation cache on TPU).
+        """
+        path = os.path.join(location, self.solver_name)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "paramMap.yaml"), "w") as f:
+            yaml.dump(self.param_map.to_reference_dict(), f, default_flow_style=False)
+        with open(os.path.join(path, "properties.yaml"), "w") as f:
+            yaml.dump(self.properties(), f, default_flow_style=False)
+        with open(os.path.join(path, "setup.yaml"), "w") as f:
+            yaml.dump(self.setup.to_dict(), f, default_flow_style=False)
+        return path
+
+    @classmethod
+    def from_solver_dir(cls, path: str) -> "MpcProblem":
+        """Rebuild a problem from a persisted artifact directory."""
+        with open(os.path.join(path, "setup.yaml")) as f:
+            setup = Setup.from_dict(yaml.safe_load(f))
+        problem = cls(setup)
+        # verify the persisted ABI matches the rebuilt one
+        with open(os.path.join(path, "paramMap.yaml")) as f:
+            persisted = yaml.safe_load(f)
+        if persisted != problem.param_map.to_reference_dict():
+            raise ValueError(f"paramMap mismatch loading artifact {path}")
+        return problem

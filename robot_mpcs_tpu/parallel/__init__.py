@@ -1,0 +1,2 @@
+from robot_mpcs_tpu.parallel.mesh import make_mesh, shard_batch
+from robot_mpcs_tpu.parallel.fleet import FleetRunner, FleetScenario

@@ -1,0 +1,210 @@
+"""Batched fleet execution: thousands of closed-loop MPC scenarios on-device.
+
+This is the throughput workhorse (BASELINE.md: >= 10k solves/s target): one
+jitted ``fleet_step`` advances every scenario by one control step — batched
+AL-iLQR solve, action extraction, plant integration, shift-horizon warm start
+— with all state resident on device and the batch axis sharded over the mesh.
+The only host traffic per step is the aggregated metrics scalar bundle.
+
+Contrast with the reference: its planner solves ONE scenario per Python call
+through a C FFI boundary (``mpcPlanner.py:240-288``) and has no batching at
+all; this module is the TPU-native replacement for "run a fleet of robots".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_mpcs_tpu.config import SolverConfiguration
+from robot_mpcs_tpu.models.problem import MpcProblem
+from robot_mpcs_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+
+
+class FleetScenario(NamedTuple):
+    """Batched scenario definition: initial states + per-stage parameters."""
+
+    xinit: jnp.ndarray  # (B, nx)
+    params: jnp.ndarray  # (B, N, npar)
+
+
+class FleetState(NamedTuple):
+    """Device-resident per-scenario state carried across control steps."""
+
+    x: jnp.ndarray  # (B, nx) plant state
+    z_warm: jnp.ndarray  # (B, N, nz) warm-start trajectory
+    lam: jnp.ndarray  # (B, N, n_con) AL multipliers
+    step: jnp.ndarray  # () int32
+
+
+class FleetMetrics(NamedTuple):
+    converged_fraction: jnp.ndarray
+    mean_cost: jnp.ndarray
+    max_violation: jnp.ndarray
+    mean_goal_distance: jnp.ndarray
+
+
+class FleetRunner:
+    """Runs B scenarios of one problem class in lockstep on the mesh."""
+
+    def __init__(
+        self,
+        problem: MpcProblem,
+        batch_size: int,
+        mesh=None,
+        solver_cfg: Optional[SolverConfiguration] = None,
+    ):
+        self.problem = problem
+        self.dims = problem.dims
+        self.batch = batch_size
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if batch_size % self.mesh.devices.size != 0:
+            raise ValueError(
+                f"batch {batch_size} not divisible by mesh size {self.mesh.devices.size}"
+            )
+        self._solve = problem.build_solver(solver_cfg)
+        self._plant = problem.dynamics  # plant = model (kinematic fidelity)
+        pm = problem.param_map
+        self._has_goal = "goal" in pm.entries
+        kin, end_link = problem.kin, problem.robot.end_link
+        self._fk_ee = lambda q: kin.fk_pos(q, end_link)
+
+        dims = self.dims
+        nu, nx, ns = dims.nu, dims.nx, dims.ns
+
+        def single_step(x, z_warm, lam, params):
+            res = self._solve(x, params, z_warm, lam)
+            # acc-mode action (reference mpcPlanner.py:277-278)
+            u = res.z[0, -nu:]
+            x_next = self._plant(x, u)
+            # shift-horizon warm start (reference mpcPlanner.py:215-226)
+            z_shift = jnp.concatenate([res.z[1:], res.z[-1:]], axis=0)
+            lam_shift = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
+            q = x_next[: dims.n]
+            if self._has_goal:
+                goal = pm.get(params[0], "goal")
+                gdist = jnp.linalg.norm(self._fk_ee(q)[: dims.m] - goal[: dims.m])
+            else:
+                gdist = jnp.zeros((), x.dtype)
+            return x_next, z_shift, lam_shift, res, gdist
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def fleet_step(state: FleetState, scenario: FleetScenario):
+            x_next, z_shift, lam_shift, res, gdist = jax.vmap(single_step)(
+                state.x, state.z_warm, state.lam, scenario.params
+            )
+            metrics = FleetMetrics(
+                converged_fraction=jnp.mean((res.exitflag >= 0).astype(jnp.float32)),
+                mean_cost=jnp.mean(res.cost),
+                max_violation=jnp.max(res.violation),
+                mean_goal_distance=jnp.mean(gdist),
+            )
+            new_state = FleetState(
+                x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1
+            )
+            return new_state, metrics
+
+        self._fleet_step = fleet_step
+
+    # ----------------------------------------------------------------- API
+
+    def init_state(self, scenario: FleetScenario) -> FleetState:
+        dims = self.dims
+        B = scenario.xinit.shape[0]
+        z0 = jnp.zeros((B, dims.N, dims.nz), jnp.float32)
+        z0 = z0.at[:, :, : dims.nx].set(scenario.xinit[:, None, :])
+        batched = shard_batch(
+            self.mesh,
+            {
+                "x": jnp.asarray(scenario.xinit, jnp.float32),
+                "z_warm": z0,
+                "lam": jnp.zeros((B, dims.N, self.problem.n_con), jnp.float32),
+            },
+        )
+        return FleetState(step=jnp.zeros((), jnp.int32), **batched)
+
+    def shard_scenario(self, scenario: FleetScenario) -> FleetScenario:
+        return shard_batch(self.mesh, scenario)
+
+    def step(self, state: FleetState, scenario: FleetScenario):
+        return self._fleet_step(state, scenario)
+
+    def run(self, scenario: FleetScenario, n_steps: int):
+        """Run the fleet for n_steps; returns (final state, last metrics)."""
+        scenario = self.shard_scenario(scenario)
+        state = self.init_state(scenario)
+        metrics = None
+        for _ in range(n_steps):
+            state, metrics = self.step(state, scenario)
+        return state, metrics
+
+
+def random_fleet_scenario(
+    problem: MpcProblem,
+    batch_size: int,
+    seed: int = 0,
+    goal_box=((-3.0, -3.0, 0.0), (3.0, 3.0, 1.0)),
+    obstacle_box=((-2.0, -2.0, 0.0), (2.0, 2.0, 1.0)),
+    obstacle_radius=(0.2, 0.6),
+    r_body: float = 0.2,
+    u_limit: float = 10.0,
+    joint_limit: float = 10.0,
+) -> FleetScenario:
+    """Randomized (x0, goal, obstacles, limits) batch — the "batched fleet"
+    benchmark configuration (BASELINE.json: 4096 randomized scenarios)."""
+    rng = np.random.default_rng(seed)
+    dims = problem.dims
+    pm = problem.param_map
+    params = np.zeros((batch_size, dims.N, problem.npar), dtype=np.float32)
+
+    def set_all(name, values):
+        """values: (B, k) broadcast over stages."""
+        if name not in pm.entries:
+            return
+        start, k = pm.entries[name]
+        params[:, :, start : start + k] = values[:, None, :]
+
+    weights = problem.mpc.weights
+    if "wgoal" in pm.entries:
+        set_all("wgoal", np.full((batch_size, pm.size("wgoal")), weights["w"]))
+    set_all("wu", np.full((batch_size, pm.size("wu")), weights["wu"]))
+    if "ws" in pm.entries and problem.mpc.slack:
+        set_all("ws", np.full((batch_size, 1), weights["ws"]))
+    if "wconstr" in pm.entries:
+        w = np.asarray(weights.get("wconstr", [0.0]), dtype=np.float32)
+        set_all("wconstr", np.tile(w, (batch_size, 1)))
+    lo, hi = np.asarray(goal_box[0]), np.asarray(goal_box[1])
+    goals = rng.uniform(lo, hi, size=(batch_size, 3)).astype(np.float32)
+    set_all("goal", goals[:, : dims.m])
+    if "r_body" in pm.entries:
+        set_all("r_body", np.full((batch_size, 1), r_body))
+    if "obst" in pm.entries:
+        olo, ohi = np.asarray(obstacle_box[0]), np.asarray(obstacle_box[1])
+        n_obst = dims.n_obst
+        pos = rng.uniform(olo, ohi, size=(batch_size, n_obst, 3)).astype(np.float32)
+        rad = rng.uniform(*obstacle_radius, size=(batch_size, n_obst, 1)).astype(np.float32)
+        set_all("obst", np.concatenate([pos, rad], axis=-1).reshape(batch_size, -1))
+    for i in range(dims.n_obst):
+        if f"lin_constrs_{i}" in pm.entries:
+            plane = np.tile(
+                np.array([1.0, 0.0, 0.0, -100.0], np.float32), (batch_size, 1)
+            )
+            set_all(f"lin_constrs_{i}", plane)
+    set_all("lower_limits", np.full((batch_size, dims.n), -joint_limit, np.float32))
+    set_all("upper_limits", np.full((batch_size, dims.n), joint_limit, np.float32))
+    set_all("lower_limits_u", np.full((batch_size, dims.nu), -u_limit, np.float32))
+    set_all("upper_limits_u", np.full((batch_size, dims.nu), u_limit, np.float32))
+    set_all("lower_limits_vel", np.full((batch_size, 2), -u_limit, np.float32))
+    set_all("upper_limits_vel", np.full((batch_size, 2), u_limit, np.float32))
+
+    xinit = np.zeros((batch_size, dims.nx), dtype=np.float32)
+    if dims.base_type == "holonomic":
+        xinit[:, : dims.n] = rng.uniform(-1.0, 1.0, size=(batch_size, dims.n))
+    else:
+        xinit[:, :3] = rng.uniform(-1.0, 1.0, size=(batch_size, 3))
+    return FleetScenario(xinit=jnp.asarray(xinit), params=jnp.asarray(params))

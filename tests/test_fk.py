@@ -1,0 +1,122 @@
+"""Forward-kinematics unit tests against an independent scipy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robot_mpcs_tpu.assets import BUILTIN_FRAMES, builtin_model, to_urdf_xml
+from robot_mpcs_tpu.models.fk import RobotKinematics
+from robot_mpcs_tpu.models.urdf import parse_urdf
+
+from oracles import oracle_fk
+
+
+def make_kin(name):
+    root, end, base = BUILTIN_FRAMES[name]
+    return builtin_model(name), RobotKinematics(builtin_model(name), root, end, base)
+
+
+def test_point_robot_dims():
+    _, kin = make_kin("pointRobot")
+    assert kin.n == 3
+    assert kin.n_arm == 3
+
+
+def test_panda_dims():
+    _, kin = make_kin("panda")
+    assert kin.n == 7
+
+
+def test_boxer_dims():
+    _, kin = make_kin("boxer")
+    # diffdrive: zero actuated arm joints, +3 base dof (reference mpcBase.py:58-61)
+    assert kin.n_arm == 0
+    assert kin.n == 3
+
+
+def test_point_robot_analytic():
+    _, kin = make_kin("pointRobot")
+    q = jnp.array([1.5, -2.0, 0.7])
+    pos = kin.fk_pos(q, "base_link")
+    np.testing.assert_allclose(np.asarray(pos), [1.5, -2.0, 0.05], atol=1e-4)
+
+
+def test_boxer_ee_analytic():
+    _, kin = make_kin("boxer")
+    q = jnp.array([2.0, 1.0, np.pi / 3])
+    pos = kin.fk_pos(q, "ee_link")
+    expected = [2.0 + 0.4 * np.cos(np.pi / 3), 1.0 + 0.4 * np.sin(np.pi / 3), 0.0]
+    np.testing.assert_allclose(np.asarray(pos), expected, atol=1e-4)
+
+
+def test_panda_home_height():
+    """At q=0 the panda wrist must sit at the known flange kinematic height."""
+    _, kin = make_kin("panda")
+    pos = np.asarray(kin.fk_pos(jnp.zeros(7), "panda_link7"))
+    # z(link1)=0.333, +0.316 via joint3, +0.384 via joint5 -> 1.033 minus the
+    # 0.0825 lateral offsets cancel; exact value checked against the oracle.
+    oracle = oracle_fk(builtin_model("panda"), "panda_link0", "panda_link7",
+                       "panda_link7", np.zeros(7))
+    np.testing.assert_allclose(pos, oracle, atol=1e-4)
+    assert pos[2] > 0.9
+
+
+@pytest.mark.parametrize("name", ["pointRobot", "panda", "boxer"])
+def test_fk_matches_oracle_random(name):
+    model, kin = make_kin(name)
+    root, end, base = BUILTIN_FRAMES[name]
+    links = {
+        "pointRobot": ["base_link", "ee_link"],
+        "panda": ["panda_link3", "panda_link5", "panda_link7"],
+        "boxer": ["ee_link", "chassis_link"],
+    }[name]
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        q = rng.uniform(-1.5, 1.5, size=kin.n)
+        for link in links:
+            got = np.asarray(kin.fk_pos(jnp.asarray(q, dtype=jnp.float32), link))
+            want = oracle_fk(model, root, end, link, q, base)
+            np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"{name}/{link}")
+
+
+def test_fk_jit_vmap_grad():
+    """FK must be jittable, vmappable and differentiable (used under jacfwd)."""
+    _, kin = make_kin("panda")
+    f = jax.jit(jax.vmap(lambda q: kin.fk_pos(q, "panda_link7")))
+    qs = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, size=(32, 7)), jnp.float32)
+    out = f(qs)
+    assert out.shape == (32, 3)
+    J = jax.jacfwd(lambda q: kin.fk_pos(q, "panda_link7"))(qs[0])
+    assert J.shape == (3, 7)
+    assert np.all(np.isfinite(np.asarray(J)))
+    # finite-difference check of the Jacobian
+    eps = 1e-4
+    q0 = np.asarray(qs[0], dtype=np.float64)
+    model = builtin_model("panda")
+    Jfd = np.zeros((3, 7))
+    for i in range(7):
+        dq = np.zeros(7)
+        dq[i] = eps
+        fp = oracle_fk(model, "panda_link0", "panda_link7", "panda_link7", q0 + dq)
+        fm = oracle_fk(model, "panda_link0", "panda_link7", "panda_link7", q0 - dq)
+        Jfd[:, i] = (fp - fm) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(J), Jfd, atol=1e-3)
+
+
+def test_urdf_roundtrip():
+    """Serializing a builtin model to URDF and re-parsing preserves kinematics."""
+    model = builtin_model("panda")
+    reparsed = parse_urdf(to_urdf_xml(model))
+    kin1 = RobotKinematics(model, "panda_link0", "panda_link7")
+    kin2 = RobotKinematics(reparsed, "panda_link0", "panda_link7")
+    q = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, 7), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(kin1.fk_pos(q)), np.asarray(kin2.fk_pos(q)), atol=1e-4
+    )
+
+
+def test_joint_limits_extracted():
+    _, kin = make_kin("panda")
+    assert kin.joint_limits.shape == (7, 2)
+    np.testing.assert_allclose(kin.joint_limits[0], [-2.8973, 2.8973])
