@@ -35,6 +35,9 @@ def main() -> None:
 
     cfg_path = os.path.join(os.path.dirname(__file__), "examples", "config", "pandaMpc.yaml")
     setup = load_setup(cfg_path)
+    # stock wconstr=0.5 with the reference's N-scaled repulsion parks the arm
+    # off-goal (see objectives.ConstraintAvoidance); bench uses a sane weight
+    setup.mpc.weights["wconstr"] = [0.05, 0.0, 0.0, 0.0]
     problem = MpcProblem(setup)
 
     devices = jax.devices()
@@ -84,6 +87,7 @@ def main() -> None:
             "converged_fraction": float(metrics.converged_fraction),
             "max_violation": float(metrics.max_violation),
             "mean_goal_distance": float(metrics.mean_goal_distance),
+            "reset_fraction": float(metrics.reset_fraction),
             "p50_step_latency_ms": round(1000.0 * elapsed / steps, 2),
         },
     }

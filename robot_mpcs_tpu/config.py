@@ -96,9 +96,17 @@ class SolverConfiguration:
     reg_initial: float = 1.0e-6
     reg_min: float = 1.0e-9
     reg_max: float = 1.0e8
-    #: Convergence tolerances: gradient norm and max constraint violation.
+    #: Convergence tolerances: gradient norm (inner-loop early-freeze), max
+    #: constraint violation, and the stationarity level reported as
+    #: "converged" in the exitflag (f32 noise floor is ~1e-5).
     tol_gradient: float = 1.0e-6
     tol_constraint: float = 1.0e-5
+    tol_stationarity: float = 1.0e-4
+    #: Stage-Hessian PSD-ization strategy: 'eigh' (exact eigenvalue clamp,
+    #: accurate but slow on TPU — eigh lowers to an iterative algorithm) or
+    #: 'gershgorin' (diagonal shift by the Gershgorin lower bound — one
+    #: vectorized pass, TPU-native; may over-regularize slightly).
+    psd_projection: str = "gershgorin"
     #: Compute dtype for the solver. f32 is the TPU-native choice; the tiny
     #: stage matrices (nz <= 24) make f32 accuracy sufficient in practice.
     dtype: str = "float32"

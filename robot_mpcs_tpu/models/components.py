@@ -65,9 +65,34 @@ class InequalityComponent(StageComponent):
 
 
 class ObjectiveComponent(StageComponent):
+    """Objective terms expose *structured* forms so the solver can build
+    Gauss-Newton (PSD-by-construction) Hessians from one Jacobian pass:
+
+    * ``residuals(z, p)`` -> ``(r, w)``: contributes ``sum(w * r^2)``;
+    * ``barriers(z, p)`` -> ``(b, w)``: contributes ``sum(w / b)``.
+
+    ``eval_objective`` (the scalar stage cost) is derived from these, so the
+    two views cannot drift. Every reference objective fits this algebra
+    (diagonal-weighted least squares + inverse-clearance barriers).
+    """
+
+    #: number of residual rows / barrier rows this component contributes
+    n_res: int = 0
+    n_bar: int = 0
+
+    def residuals(self, z, p, pm):
+        return jnp.zeros((0,), dtype=z.dtype), jnp.zeros((0,), dtype=z.dtype)
+
+    def barriers(self, z, p, pm):
+        return jnp.zeros((0,), dtype=z.dtype), jnp.zeros((0,), dtype=z.dtype)
+
     def eval_objective(self, z: jnp.ndarray, p: jnp.ndarray, pm: ParamMap) -> jnp.ndarray:
-        """Return a scalar stage cost."""
-        raise NotImplementedError
+        r, wr = self.residuals(z, p, pm)
+        b, wb = self.barriers(z, p, pm)
+        total = jnp.sum(wr * r * r)
+        if b.shape[0]:
+            total = total + jnp.sum(wb / b)
+        return total
 
 
 def obstacle_distances(

@@ -105,3 +105,22 @@ def make_discrete_dynamics(
         return x
 
     return F
+
+
+def constant_dynamics_jacobians(dims: ProblemDimensions, F: DynamicsFn):
+    """If the discrete dynamics are linear (holonomic double integrator,
+    ``mpcModel.py:65-69``), return the constant Jacobians (A, B) computed
+    once at build time — removing per-stage/per-iteration Jacobian work from
+    the solver's hot loop. Returns None for nonlinear (diffdrive) dynamics.
+    """
+    if dims.base_type != "holonomic":
+        return None
+    import jax
+
+    x0 = jnp.zeros((dims.nx,), jnp.float32)
+    u0 = jnp.zeros((dims.nu,), jnp.float32)
+    A = jax.jacfwd(F, argnums=0)(x0, u0)
+    B = jax.jacfwd(F, argnums=1)(x0, u0)
+    import numpy as np
+
+    return np.asarray(A), np.asarray(B)

@@ -1,7 +1,10 @@
 """Objective (stage cost) components.
 
-Re-designs of reference ``robotmpcs/models/objectives/*``. The total stage
-cost assembled in ``problem.py`` is
+Re-designs of reference ``robotmpcs/models/objectives/*``. Each component
+exposes its cost in structured form (diagonal-weighted residuals and/or
+inverse barriers, see ``ObjectiveComponent``) so the solver can assemble
+Gauss-Newton Hessians from a single Jacobian pass. The total stage cost
+assembled in ``problem.py`` is
 
     sum(objective modules) + u' diag(wu) u + ws * s^2
 
@@ -22,21 +25,38 @@ from robot_mpcs_tpu.models.components import (
 from robot_mpcs_tpu.models.params import ParamMap
 
 
+def _safe_barrier(b: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Clamp a barrier denominator to be strictly positive.
+
+    The reference's raw ``1/c`` becomes *negative* on infeasible iterates
+    (c < 0), rewarding the minimizer for diving through obstacles — its
+    interior-point solver never visits that region, but an AL method does
+    during intermediate iterations. Clamping to ``max(c, eps)`` caps the
+    repulsion at a large positive plateau (zero gradient inside violation;
+    the hard AL constraint supplies the restoring force) while matching the
+    reference exactly on the feasible set where c >= eps.
+    """
+    return jnp.maximum(b, eps)
+
+
 class GoalReaching(ObjectiveComponent):
     """``(fk_ee(q) - goal)' diag(wgoal) (fk_ee(q) - goal)``
     (reference ``goal_reaching.py:19-33``)."""
 
     name = "GoalReaching"
 
+    def __init__(self, ctx: ModelContext):
+        super().__init__(ctx)
+        self.n_res = self.dims.m
+
     def register_params(self, pm: ParamMap) -> None:
         pm.register("goal", self.dims.m)
         pm.register("wgoal", self.dims.m)
 
-    def eval_objective(self, z, p, pm):
+    def residuals(self, z, p, pm):
         q, _, _ = self.dims.extract_variables(z)
         pos_ee = self.ctx.kin.fk_pos(q, self.ctx.robot.end_link)[: self.dims.m]
-        err = pos_ee - pm.get(p, "goal")
-        return jnp.sum(pm.get(p, "wgoal") * err * err)
+        return pos_ee - pm.get(p, "goal"), pm.get(p, "wgoal")
 
 
 class ConstraintAvoidance(ObjectiveComponent):
@@ -46,32 +66,29 @@ class ConstraintAvoidance(ObjectiveComponent):
     module i, ``w_i / c_i0`` (only the module's FIRST inequality row) once per
     horizon stage index — i.e. the term is scaled by N inside a single stage
     cost. We reproduce that weighting (``N * w_i / c_i0``) so reference
-    configs tune identically, and guard the reciprocal against division by
-    values near zero.
+    configs tune identically, and guard the reciprocal's pole.
     """
 
     name = "ConstraintAvoidance"
 
     def __init__(self, ctx: ModelContext, ineq_modules=()):
         super().__init__(ctx)
-        self.ineq_modules = list(ineq_modules)
+        self.ineq_modules = [m for m in ineq_modules if m.n_ineq > 0]
+        self.n_bar = len(self.ineq_modules)
 
     def register_params(self, pm: ParamMap) -> None:
         pm.register("wconstr", len(self.ctx.mpc.constraints))
 
-    def eval_objective(self, z, p, pm):
+    def barriers(self, z, p, pm):
         w = pm.get(p, "wconstr")
-        total = jnp.zeros((), dtype=z.dtype)
+        bars, weights = [], []
         for i, module in enumerate(self.ineq_modules):
             c = module.eval_constraint(z, p, pm)
-            if c.shape[0] == 0:
-                continue
-            c0 = c[0]
-            # avoid the pole: clamp the reciprocal argument away from zero
-            # (keeping its sign; exactly-zero clearance counts as positive)
-            safe = jnp.where(c0 >= 0, jnp.maximum(c0, 1e-3), jnp.minimum(c0, -1e-3))
-            total = total + self.dims.N * w[i] / safe
-        return total
+            bars.append(_safe_barrier(c[0]))
+            weights.append(self.dims.N * w[i])
+        if not bars:
+            return (jnp.zeros((0,), z.dtype),) * 2
+        return jnp.stack(bars), jnp.stack(weights)
 
 
 class GoalMpcObjective(ObjectiveComponent):
@@ -86,6 +103,12 @@ class GoalMpcObjective(ObjectiveComponent):
 
     name = "GoalMpcObjective"
 
+    def __init__(self, ctx: ModelContext):
+        super().__init__(ctx)
+        dims = self.dims
+        n_obst_rows = dims.n_obst * len(ctx.collision_links)
+        self.n_res = dims.m + (dims.nx - dims.n) + n_obst_rows
+
     def register_params(self, pm: ParamMap) -> None:
         pm.register("wvel", self.dims.nx - self.dims.n)
         pm.register("w", self.dims.m)
@@ -94,19 +117,21 @@ class GoalMpcObjective(ObjectiveComponent):
         pm.register("g", self.dims.m)
         pm.register("wobst", 1)
 
-    def eval_objective(self, z, p, pm):
-        q, _, _ = self.dims.extract_variables(z)
-        vel = z[..., self.dims.n : self.dims.nx]
-        pos_ee = self.ctx.kin.fk_pos(q, self.ctx.robot.end_link)[: self.dims.m]
-        err = pos_ee - pm.get(p, "g")
-        j_goal = jnp.sum(pm.get(p, "w") * err * err)
-        j_vel = jnp.sum(pm.get(p, "wvel") * vel * vel)
+    def residuals(self, z, p, pm):
+        dims = self.dims
+        q, _, _ = dims.extract_variables(z)
+        vel = z[..., dims.n : dims.nx]
+        pos_ee = self.ctx.kin.fk_pos(q, self.ctx.robot.end_link)[: dims.m]
+        goal_res = pos_ee - pm.get(p, "g")
         if "obst" in pm:
-            inv = 1.0 / jnp.maximum(obstacle_distances(self.ctx, q, p, pm), 1e-3)
-            j_obst = pm.get(p, "wobst")[0] * jnp.sum(inv * inv)
+            # inverse-square repulsion: residual 1/d with weight wobst
+            inv = 1.0 / _safe_barrier(obstacle_distances(self.ctx, q, p, pm))
         else:
-            j_obst = jnp.zeros((), dtype=z.dtype)
-        return j_goal + j_vel + j_obst
+            inv = jnp.zeros((self.n_res - dims.m - vel.shape[-1],), z.dtype)
+        res = jnp.concatenate([goal_res, vel, inv])
+        wobst = jnp.broadcast_to(pm.get(p, "wobst"), inv.shape)
+        w = jnp.concatenate([pm.get(p, "w"), pm.get(p, "wvel"), wobst])
+        return res, w
 
 
 OBJECTIVE_REGISTRY = {

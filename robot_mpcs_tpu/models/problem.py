@@ -211,10 +211,29 @@ class MpcProblem:
         """Total AL constraint rows per stage (module ineqs + bound rows)."""
         return self.n_ineq + len(self.bound_rows())
 
+    @property
+    def n_res(self) -> int:
+        """Residual rows per stage: objective residuals + control penalty
+        rows (wu) + slack penalty row (ws)."""
+        return sum(c.n_res for c in self.obj_components) + self.dims.nu + self.dims.ns
+
+    @property
+    def n_bar(self) -> int:
+        """Barrier rows per stage (inverse-clearance repulsion terms)."""
+        return sum(c.n_bar for c in self.obj_components)
+
     def solver_callbacks(self):
-        """(dynamics, cost, ineq) in the solver's (x, w, p) calling convention
-        with w = [s, u]; plus (w_lb, w_ub) clamp bounds."""
+        """StageFunctions in the solver's (x, w, p) calling convention with
+        w = [s, u], plus (w_lb, w_ub) clamp bounds.
+
+        ``values`` stacks [residuals; barriers; constraints] so the solver
+        gets the whole Gauss-Newton structure from one Jacobian pass; shared
+        subexpressions (FK) are deduplicated by XLA CSE.
+        """
+        from robot_mpcs_tpu.solver.al_ilqr import StageFunctions
+
         dims = self.dims
+        pm = self.param_map
         rows = self.bound_rows()
         idx = np.array([r[0] for r in rows], dtype=np.int32)
         sign = np.array([r[1] for r in rows], dtype=np.float32)
@@ -232,28 +251,64 @@ class MpcProblem:
             b = sign * (z[idx] - bnd)
             return jnp.concatenate([mod, b])
 
+        def values(x, w, p):
+            z = jnp.concatenate([x, w])
+            res = [comp.residuals(z, p, pm)[0] for comp in self.obj_components]
+            res.append(z[dims.nx + dims.ns :])  # u rows (weight wu)
+            if dims.ns:
+                res.append(z[dims.nx : dims.nx + dims.ns])  # slack row (weight ws)
+            bars = [comp.barriers(z, p, pm)[0] for comp in self.obj_components]
+            return jnp.concatenate(res + bars + [ineq(x, w, p)])
+
+        def weights(p):
+            w_res = [comp.residuals(jnp.zeros(dims.nz, p.dtype), p, pm)[1]
+                     if comp.n_res else jnp.zeros((0,), p.dtype)
+                     for comp in self.obj_components]
+            # the weight vectors depend on p only; evaluating at z=0 is exact
+            w_res.append(pm.get(p, "wu"))
+            if dims.ns:
+                w_res.append(pm.get(p, "ws"))
+            w_bar = [comp.barriers(jnp.zeros(dims.nz, p.dtype), p, pm)[1]
+                     if comp.n_bar else jnp.zeros((0,), p.dtype)
+                     for comp in self.obj_components]
+            return jnp.concatenate(w_res), (
+                jnp.concatenate(w_bar) if w_bar else jnp.zeros((0,), p.dtype)
+            )
+
+        from robot_mpcs_tpu.models.dynamics import constant_dynamics_jacobians
+
+        dyn_jac = constant_dynamics_jacobians(dims, self.dynamics)
+
         w_lb = np.concatenate(
             ([self.limits["s"]["low"]] if dims.ns else []) + [self.limits["u"]["low"]]
         )
         w_ub = np.concatenate(
             ([self.limits["s"]["high"]] if dims.ns else []) + [self.limits["u"]["high"]]
         )
-        return self.dynamics, cost, ineq, w_lb.astype(np.float32), w_ub.astype(np.float32)
+        stage = StageFunctions(
+            dynamics=self.dynamics,
+            cost=cost,
+            ineq=ineq,
+            values=values,
+            weights=weights,
+            dyn_jac=dyn_jac,
+        )
+        return stage, w_lb.astype(np.float32), w_ub.astype(np.float32)
 
     def build_solver(self, cfg: Optional[SolverConfiguration] = None) -> Callable:
         """Build the batched NLP solve function for this problem."""
         from robot_mpcs_tpu.solver.al_ilqr import build_solver
 
-        dynamics, cost, ineq, w_lb, w_ub = self.solver_callbacks()
+        stage, w_lb, w_ub = self.solver_callbacks()
         return build_solver(
-            dynamics,
-            cost,
-            ineq,
+            stage,
             nx=self.dims.nx,
             ns=self.dims.ns,
             nu=self.dims.nu,
             N=self.dims.N,
             n_con=self.n_con,
+            n_res=self.n_res,
+            n_bar=self.n_bar,
             w_lb=w_lb,
             w_ub=w_ub,
             cfg=cfg or self.setup.solver,

@@ -47,6 +47,9 @@ class FleetMetrics(NamedTuple):
     mean_cost: jnp.ndarray
     max_violation: jnp.ndarray
     mean_goal_distance: jnp.ndarray
+    #: fraction of scenarios whose warm start was reset this step because the
+    #: solve came back unusable (diverged / heavily violated)
+    reset_fraction: jnp.ndarray
 
 
 class FleetRunner:
@@ -79,23 +82,35 @@ class FleetRunner:
 
         def single_step(x, z_warm, lam, params):
             res = self._solve(x, params, z_warm, lam)
-            # acc-mode action (reference mpcPlanner.py:277-278)
-            u = res.z[0, -nu:]
+            # Failure handling: a diverged/heavily-violated plan must not be
+            # executed or fed back as the next warm start (the reference only
+            # prints on exitflag < 0, mpcPlanner.py:263-264, and its examples
+            # refuse to seed constraints from failed plans,
+            # boxer_example.py:194-198). Brake (u = 0) and cold-restart.
+            ok = (res.exitflag >= 0) & (res.violation < 0.5)
+            u = jnp.where(ok, res.z[0, -nu:], jnp.zeros((nu,), res.z.dtype))
             x_next = self._plant(x, u)
             # shift-horizon warm start (reference mpcPlanner.py:215-226)
-            z_shift = jnp.concatenate([res.z[1:], res.z[-1:]], axis=0)
-            lam_shift = jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0)
+            cold = jnp.zeros_like(res.z).at[:, :nx].set(x_next)
+            z_shift = jnp.where(
+                ok, jnp.concatenate([res.z[1:], res.z[-1:]], axis=0), cold
+            )
+            lam_shift = jnp.where(
+                ok,
+                jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0),
+                jnp.zeros_like(res.lam),
+            )
             q = x_next[: dims.n]
             if self._has_goal:
                 goal = pm.get(params[0], "goal")
                 gdist = jnp.linalg.norm(self._fk_ee(q)[: dims.m] - goal[: dims.m])
             else:
                 gdist = jnp.zeros((), x.dtype)
-            return x_next, z_shift, lam_shift, res, gdist
+            return x_next, z_shift, lam_shift, res, gdist, ~ok
 
         @partial(jax.jit, donate_argnums=(0,))
         def fleet_step(state: FleetState, scenario: FleetScenario):
-            x_next, z_shift, lam_shift, res, gdist = jax.vmap(single_step)(
+            x_next, z_shift, lam_shift, res, gdist, was_reset = jax.vmap(single_step)(
                 state.x, state.z_warm, state.lam, scenario.params
             )
             metrics = FleetMetrics(
@@ -103,6 +118,7 @@ class FleetRunner:
                 mean_cost=jnp.mean(res.cost),
                 max_violation=jnp.max(res.violation),
                 mean_goal_distance=jnp.mean(gdist),
+                reset_fraction=jnp.mean(was_reset.astype(jnp.float32)),
             )
             new_state = FleetState(
                 x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1
@@ -183,11 +199,39 @@ def random_fleet_scenario(
     set_all("goal", goals[:, : dims.m])
     if "r_body" in pm.entries:
         set_all("r_body", np.full((batch_size, 1), r_body))
+    xinit = np.zeros((batch_size, dims.nx), dtype=np.float32)
+    if dims.base_type == "holonomic":
+        xinit[:, : dims.n] = rng.uniform(-1.0, 1.0, size=(batch_size, dims.n))
+    else:
+        xinit[:, :3] = rng.uniform(-1.0, 1.0, size=(batch_size, 3))
+
     if "obst" in pm.entries:
+        # Rejection-sample obstacle positions so no scenario *starts* in
+        # collision (an initially-violated hard constraint is an invalid
+        # scenario, not a solvable one; cf. the reference's EmptyObstacle
+        # padding for "no obstacle here", mpcPlanner.py:18-26).
+        import jax.numpy as _jnp
+
         olo, ohi = np.asarray(obstacle_box[0]), np.asarray(obstacle_box[1])
         n_obst = dims.n_obst
+        links = list(problem.robot.collision_links)
+        fk0 = np.stack([
+            np.asarray(problem.kin.fk_pos_links(_jnp.asarray(xinit[b, : dims.n]), links))
+            for b in range(batch_size)
+        ])  # (B, L, 3)
         pos = rng.uniform(olo, ohi, size=(batch_size, n_obst, 3)).astype(np.float32)
         rad = rng.uniform(*obstacle_radius, size=(batch_size, n_obst, 1)).astype(np.float32)
+        for _ in range(32):
+            clearance = (
+                np.linalg.norm(fk0[:, :, None, :] - pos[:, None, :, :], axis=-1)
+                - rad[:, None, :, 0]
+                - r_body
+            ).min(axis=(1, 2))
+            bad = clearance < 0.1
+            if not bad.any():
+                break
+            pos[bad] = rng.uniform(olo, ohi, size=(int(bad.sum()), n_obst, 3))
+            rad[bad] = rng.uniform(*obstacle_radius, size=(int(bad.sum()), n_obst, 1))
         set_all("obst", np.concatenate([pos, rad], axis=-1).reshape(batch_size, -1))
     for i in range(dims.n_obst):
         if f"lin_constrs_{i}" in pm.entries:
@@ -201,10 +245,4 @@ def random_fleet_scenario(
     set_all("upper_limits_u", np.full((batch_size, dims.nu), u_limit, np.float32))
     set_all("lower_limits_vel", np.full((batch_size, 2), -u_limit, np.float32))
     set_all("upper_limits_vel", np.full((batch_size, 2), u_limit, np.float32))
-
-    xinit = np.zeros((batch_size, dims.nx), dtype=np.float32)
-    if dims.base_type == "holonomic":
-        xinit[:, : dims.n] = rng.uniform(-1.0, 1.0, size=(batch_size, dims.n))
-    else:
-        xinit[:, :3] = rng.uniform(-1.0, 1.0, size=(batch_size, 3))
     return FleetScenario(xinit=jnp.asarray(xinit), params=jnp.asarray(params))

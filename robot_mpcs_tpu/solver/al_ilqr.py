@@ -11,14 +11,22 @@ drives (reference ``robotmpcs/models/mpcModel.py:74-129`` builds the problem,
 * **Inequalities + variable bounds** are handled by a PHR augmented
   Lagrangian (ALTRO-style): fixed outer iterations update multipliers and a
   scalar penalty; the inner iLQR minimizes the AL objective.
+* **Gauss-Newton expansions**: every reference objective is diagonal-weighted
+  least squares + inverse barriers, so one ``jacfwd`` of the stacked
+  [residuals; barriers; constraints] vector yields the exact AL gradient and
+  a PSD-by-construction Hessian (J' D J products). No second-derivative
+  graphs, no eigendecompositions — the per-iteration work is dense
+  (rows x nv) x (nv x nv) matmul batches that XLA maps straight onto the
+  VPU/MXU. (A generic exact-Hessian fallback with Gershgorin PSD shift
+  exists for unstructured custom costs.)
 * **Batching**: the whole solve is a pure function of
   ``(xinit, params, z0, lam0)`` with static shapes and fixed iteration
   counts — ``jax.vmap`` turns it into a B-scenario batched device program,
-  and ``shard_map`` over a mesh scales the batch axis across chips (see
+  and sharding over a mesh scales the batch axis across chips (see
   ``robot_mpcs_tpu.parallel``).
-* **Derivatives**: stage cost/constraint expansions use exact
-  ``jax.hessian``/``jax.jacfwd`` on the (<= ~24-dim) stacked stage variable;
-  dynamics Jacobians via ``jax.jacfwd``. All traced once under jit.
+* **Linear dynamics shortcut**: holonomic robots have constant (A, B);
+  they are computed once at build time and broadcast, removing per-stage
+  Jacobian work from the hot loop.
 
 Per-scenario early exit is impossible under vmap, so convergence is handled
 with done-masking: converged scenarios freeze their iterates while the batch
@@ -28,8 +36,7 @@ one C solve per scenario per step, ``mpcPlanner.py:240-288``).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,10 +46,25 @@ from robot_mpcs_tpu.config import SolverConfiguration
 from robot_mpcs_tpu.solver.types import SolveResult
 
 
-class _StageFns(NamedTuple):
+class StageFunctions(NamedTuple):
+    """Per-stage problem callbacks in the solver's (x, w, p) convention,
+    where ``w = [s, u]`` stacks slack + controls.
+
+    ``values``/``weights`` carry the structured (Gauss-Newton) form:
+    ``values(x, w, p)`` returns the stacked ``[residuals; barriers;
+    constraints]`` vector (sharing subexpressions like FK across all three),
+    ``weights(p)`` returns ``(w_res, w_bar)``. The stage cost is then
+    ``sum(w_res * r^2) + sum(w_bar / b)`` and feasibility is ``c >= 0``.
+    Set ``values=None`` for unstructured problems (generic fallback:
+    ``cost``/``ineq`` with exact Hessians + Gershgorin PSD shift).
+    """
+
     dynamics: Callable  # F(x, u) -> x_next
-    cost: Callable  # cost(x, w, p) -> scalar (w = [s, u])
+    cost: Callable  # cost(x, w, p) -> scalar (true objective)
     ineq: Callable  # con(x, w, p) -> (n_con,) feasible iff >= 0
+    values: Optional[Callable] = None  # (x, w, p) -> (n_res + n_bar + n_con,)
+    weights: Optional[Callable] = None  # p -> (w_res, w_bar)
+    dyn_jac: Union[None, Tuple, Callable] = None  # (A, B) consts | fn(x, u)
 
 
 def _al_penalty(c: jnp.ndarray, lam: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarray:
@@ -52,15 +74,15 @@ def _al_penalty(c: jnp.ndarray, lam: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarra
 
 
 def build_solver(
-    dynamics: Callable,
-    stage_cost: Callable,
-    stage_ineq: Callable,
+    stage: StageFunctions,
     *,
     nx: int,
     ns: int,
     nu: int,
     N: int,
     n_con: int,
+    n_res: int = 0,
+    n_bar: int = 0,
     w_lb,
     w_ub,
     cfg: Optional[SolverConfiguration] = None,
@@ -69,7 +91,7 @@ def build_solver(
 
     ``z0`` has shape (N, nx+ns+nu); its ``[s, u]`` tail seeds the control
     trajectory (warm start). ``lam0`` (N, n_con) warm-starts the multipliers
-    across MPC steps. The returned function is jit/vmap/shard_map-ready.
+    across MPC steps. The returned function is jit/vmap-ready.
     """
     cfg = cfg or SolverConfiguration()
     nw = ns + nu
@@ -77,51 +99,111 @@ def build_solver(
     dtype = jnp.float32 if cfg.dtype == "float32" else jnp.float64
     w_lb = jnp.broadcast_to(jnp.asarray(w_lb, dtype), (nw,))
     w_ub = jnp.broadcast_to(jnp.asarray(w_ub, dtype), (nw,))
-    fns = _StageFns(dynamics, stage_cost, stage_ineq)
+    structured = stage.values is not None
 
     alphas = cfg.line_search_decay ** jnp.arange(cfg.line_search_steps, dtype=dtype)
 
     # ---------------- stage-level pieces ----------------------------------
 
+    if structured:
+
+        def split_vals(vals):
+            return vals[:n_res], vals[n_res : n_res + n_bar], vals[n_res + n_bar :]
+
+        def stage_cost_from_vals(vals, p):
+            r, b, _ = split_vals(vals)
+            w_res, w_bar = stage.weights(p)
+            total = jnp.sum(w_res * r * r)
+            if n_bar:
+                total = total + jnp.sum(w_bar / b)
+            return total
+
+        def true_cost(x, w, p):
+            return stage_cost_from_vals(stage.values(x, w, p), p)
+
+        def stage_ineq(x, w, p):
+            return split_vals(stage.values(x, w, p))[2]
+
+    else:
+        true_cost = stage.cost
+        stage_ineq = stage.ineq
+
     def al_stage_cost(x, w, p, lam, mu):
-        c = fns.ineq(x, w, p)
-        return fns.cost(x, w, p) + _al_penalty(c, lam, mu)
+        if structured:
+            vals = stage.values(x, w, p)
+            c = split_vals(vals)[2]
+            return stage_cost_from_vals(vals, p) + _al_penalty(c, lam, mu)
+        return stage.cost(x, w, p) + _al_penalty(stage.ineq(x, w, p), lam, mu)
 
     def stage_expansion(x, w, p, lam, mu):
+        """(g, H): exact AL gradient and PSD Hessian model at one stage."""
         v = jnp.concatenate([x, w])
+        if structured:
+            vals_fn = lambda vv: stage.values(vv[:nx], vv[nx:], p)
+            vals = vals_fn(v)
+            J = jax.jacfwd(vals_fn)(v)  # (n_res+n_bar+n_con, nv)
+            r, b, c = split_vals(vals)
+            Jr, Jb, Jc = J[:n_res], J[n_res : n_res + n_bar], J[n_res + n_bar :]
+            w_res, w_bar = stage.weights(p)
+            act = jnp.maximum(0.0, lam - mu * c)  # active multiplier estimate
+            g = 2.0 * Jr.T @ (w_res * r) - Jc.T @ act
+            H = 2.0 * (Jr.T * w_res) @ Jr + mu * (Jc.T * (act > 0)) @ Jc
+            if n_bar:
+                g = g - Jb.T @ (w_bar / (b * b))
+                curv = jnp.maximum(2.0 * w_bar / (b * b * b), 0.0)
+                H = H + (Jb.T * curv) @ Jb
+            return g, H
+        # generic fallback: exact Hessian + Gershgorin PSD shift
         f = lambda vv: al_stage_cost(vv[:nx], vv[nx:], p, lam, mu)
         g = jax.grad(f)(v)
         H = jax.hessian(f)(v)
         H = 0.5 * (H + H.T)
-        # Project the stage Hessian to PSD (eigenvalue clamping): nonconvex
-        # terms (inverse-clearance repulsion, obstacle-distance curvature, AL
-        # active-set switching) make H indefinite, which would let the Riccati
-        # value recursion lose positive-definiteness and blow up. With PSD
-        # stage blocks and V_N = 0, Vxx stays PSD by induction.
-        evals, evecs = jnp.linalg.eigh(H)
-        evals = jnp.maximum(evals, 1e-6)
-        H = (evecs * evals[None, :]) @ evecs.T
-        return g, H
+        diag = jnp.diagonal(H)
+        radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+        shift = jnp.maximum(0.0, 1e-6 - jnp.min(diag - radius))
+        return g, H + shift * jnp.eye(nv, dtype=H.dtype)
 
-    def dyn_jacobians(x, w):
-        u = w[ns:]
-        A = jax.jacfwd(fns.dynamics, argnums=0)(x, u)
-        Bu = jax.jacfwd(fns.dynamics, argnums=1)(x, u)
-        B = jnp.concatenate([jnp.zeros((nx, ns), dtype=x.dtype), Bu], axis=1)
-        return A, B
+    if isinstance(stage.dyn_jac, tuple):
+        A_const = jnp.asarray(stage.dyn_jac[0], dtype)
+        B_const = jnp.concatenate(
+            [jnp.zeros((nx, ns), dtype), jnp.asarray(stage.dyn_jac[1], dtype)], axis=1
+        )
+
+        def all_dyn_jacobians(X, W):
+            A = jnp.broadcast_to(A_const, (N, nx, nx))
+            B = jnp.broadcast_to(B_const, (N, nx, nw))
+            return A, B
+
+    else:
+        jac_fn = stage.dyn_jac
+
+        def one_jac(x, w):
+            u = w[ns:]
+            if jac_fn is not None:
+                A, Bu = jac_fn(x, u)
+            else:
+                A = jax.jacfwd(stage.dynamics, argnums=0)(x, u)
+                Bu = jax.jacfwd(stage.dynamics, argnums=1)(x, u)
+            B = jnp.concatenate([jnp.zeros((nx, ns), dtype=x.dtype), Bu], axis=1)
+            return A, B
+
+        def all_dyn_jacobians(X, W):
+            return jax.vmap(one_jac)(X, W)
 
     def rollout(xinit, W):
         """Open-loop rollout: X[0] = xinit, X[k+1] = F(X[k], U[k])."""
 
         def step(x, w):
-            x_next = fns.dynamics(x, w[ns:])
+            x_next = stage.dynamics(x, w[ns:])
             return x_next, x
 
         _, X = lax.scan(step, xinit, W)
         return X  # (N, nx); the transition out of stage N is discarded
 
     def total_al_cost(X, W, P, lam, mu):
-        return jnp.sum(jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu))
+        return jnp.sum(
+            jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
+        )
 
     # ---------------- backward Riccati sweep -------------------------------
 
@@ -170,7 +252,7 @@ def build_solver(
             w = w_ref + alpha * k_k + K_k @ (x - x_ref)
             w = jnp.clip(w, w_lb, w_ub)
             cost_k = al_stage_cost(x, w, p_k, lam_k, mu)
-            x_next = fns.dynamics(x, w[ns:])
+            x_next = stage.dynamics(x, w[ns:])
             return x_next, (x, w, cost_k)
 
         _, (X, W, costs) = lax.scan(step, xinit, (X_ref, W_ref, k_ff, K, P, lam))
@@ -184,7 +266,7 @@ def build_solver(
             g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
             lx, lw = g[:, :nx], g[:, nx:]
             lxx, lxw, lww = H[:, :nx, :nx], H[:, :nx, nx:], H[:, nx:, nx:]
-            A, B = jax.vmap(dyn_jacobians)(X, W)
+            A, B = all_dyn_jacobians(X, W)
             # stage N has no outgoing dynamics
             A = A.at[-1].set(0.0)
             B = B.at[-1].set(0.0)
@@ -241,7 +323,7 @@ def build_solver(
         def outer(carry, _):
             X, W, lam, mu, grad_norm, n_inner = carry
             X, W, gn, used = ilqr(xinit, X, W, P, lam, mu)
-            C = jax.vmap(fns.ineq)(X, W, P)  # (N, n_con)
+            C = jax.vmap(stage_ineq)(X, W, P)  # (N, n_con)
             lam_new = jnp.maximum(0.0, lam - mu * C)
             viol = (
                 jnp.max(jnp.maximum(0.0, -C))
@@ -263,17 +345,17 @@ def build_solver(
         )
         X, W, lam, _, grad_norm, n_inner = carry
 
-        C = jax.vmap(fns.ineq)(X, W, P)
+        C = jax.vmap(stage_ineq)(X, W, P)
         viol = (
             jnp.max(jnp.maximum(0.0, -C))
             if n_con > 0
             else jnp.asarray(0.0, dtype)
         )
-        cost = jnp.sum(jax.vmap(fns.cost)(X, W, P))
+        cost = jnp.sum(jax.vmap(true_cost)(X, W, P))
         z = jnp.concatenate([X, W], axis=-1)
 
         finite = jnp.all(jnp.isfinite(z))
-        converged = finite & (viol <= cfg.tol_constraint) & (grad_norm <= 10 * cfg.tol_gradient)
+        converged = finite & (viol <= cfg.tol_constraint) & (grad_norm <= cfg.tol_stationarity)
         exitflag = jnp.where(converged, 1, jnp.where(finite, 0, -1)).astype(jnp.int32)
         return SolveResult(
             z=z,
@@ -289,11 +371,13 @@ def build_solver(
     solve._internals = {
         "rollout": rollout,
         "stage_expansion": stage_expansion,
-        "dyn_jacobians": dyn_jacobians,
+        "all_dyn_jacobians": all_dyn_jacobians,
         "backward": backward,
         "forward": forward,
         "ilqr": ilqr,
         "al_stage_cost": al_stage_cost,
         "total_al_cost": total_al_cost,
+        "true_cost": true_cost,
+        "stage_ineq": stage_ineq,
     }
     return solve

@@ -6,11 +6,11 @@ import numpy as np
 from scipy.optimize import minimize
 
 from robot_mpcs_tpu.config import SolverConfiguration
-from robot_mpcs_tpu.solver.al_ilqr import build_solver
+from robot_mpcs_tpu.solver.al_ilqr import StageFunctions, build_solver
 
 
 def _double_integrator_solver(N=8, dt=0.1, goal=1.0, wu=0.01, u_lim=None,
-                              cfg=None):
+                              cfg=None, structured=True):
     """1-D double integrator, quadratic goal cost on position."""
     nx, nu, ns = 2, 1, 0
 
@@ -24,15 +24,25 @@ def _double_integrator_solver(N=8, dt=0.1, goal=1.0, wu=0.01, u_lim=None,
     if u_lim is None:
         n_con = 0
         ineq = lambda x, w, p: jnp.zeros((0,), dtype=x.dtype)
-        w_lb, w_ub = [-100.0], [100.0]
     else:
         n_con = 2
         ineq = lambda x, w, p: jnp.array([w[0] + u_lim, u_lim - w[0]])
-        w_lb, w_ub = [-100.0], [100.0]  # bounds handled via AL rows only
+    w_lb, w_ub = [-100.0], [100.0]  # bounds handled via AL rows only
+
+    if structured:
+        values = lambda x, w, p: jnp.concatenate(
+            [jnp.array([x[0] - goal, x[1], w[0]]), ineq(x, w, p)]
+        )
+        weights = lambda p: (jnp.array([1.0, 0.1, wu]), jnp.zeros((0,)))
+        stage = StageFunctions(dynamics, cost, ineq, values, weights)
+        n_res = 3
+    else:
+        stage = StageFunctions(dynamics, cost, ineq)
+        n_res = 0
 
     solve = build_solver(
-        dynamics, cost, ineq,
-        nx=nx, ns=ns, nu=nu, N=N, n_con=n_con,
+        stage,
+        nx=nx, ns=ns, nu=nu, N=N, n_con=n_con, n_res=n_res, n_bar=0,
         w_lb=w_lb, w_ub=w_ub,
         cfg=cfg or SolverConfiguration(),
     )
@@ -127,3 +137,33 @@ def test_nan_inputs_flagged():
     bad = jnp.full(2, jnp.nan)
     res = jax.jit(solve)(bad, jnp.zeros((N, 1)), jnp.zeros((N, 3)))
     assert int(res.exitflag) == -1
+
+
+def test_generic_fallback_matches_structured():
+    """The unstructured (exact-Hessian) path must reach the same optimum."""
+    N, dt, goal, wu = 8, 0.1, 1.0, 0.01
+    s1, _ = _double_integrator_solver(N, dt, goal, wu, structured=True)
+    s2, _ = _double_integrator_solver(N, dt, goal, wu, structured=False)
+    r1 = jax.jit(s1)(jnp.zeros(2), jnp.zeros((N, 1)), jnp.zeros((N, 3)))
+    r2 = jax.jit(s2)(jnp.zeros(2), jnp.zeros((N, 1)), jnp.zeros((N, 3)))
+    np.testing.assert_allclose(float(r1.cost), float(r2.cost), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.z), np.asarray(r2.z), atol=5e-3)
+
+
+def test_constant_dyn_jacobians_same_solution():
+    """Passing analytic constant (A, B) must match autodiff Jacobians."""
+    N, dt, goal, wu = 8, 0.1, 1.0, 0.01
+    solve_ad, dynamics = _double_integrator_solver(N, dt, goal, wu)
+    A = np.array([[1.0, dt], [0.0, 1.0]], np.float32)
+    B = np.array([[0.5 * dt**2], [dt]], np.float32)
+    values = lambda x, w, p: jnp.array([x[0] - goal, x[1], w[0]])
+    weights = lambda p: (jnp.array([1.0, 0.1, wu]), jnp.zeros((0,)))
+    ineq = lambda x, w, p: jnp.zeros((0,), dtype=x.dtype)
+    stage = StageFunctions(dynamics, None, ineq, values, weights, dyn_jac=(A, B))
+    solve_const = build_solver(
+        stage, nx=2, ns=0, nu=1, N=N, n_con=0, n_res=3, n_bar=0,
+        w_lb=[-100.0], w_ub=[100.0], cfg=SolverConfiguration(),
+    )
+    r1 = jax.jit(solve_ad)(jnp.zeros(2), jnp.zeros((N, 1)), jnp.zeros((N, 3)))
+    r2 = jax.jit(solve_const)(jnp.zeros(2), jnp.zeros((N, 1)), jnp.zeros((N, 3)))
+    np.testing.assert_allclose(np.asarray(r1.z), np.asarray(r2.z), atol=1e-4)
