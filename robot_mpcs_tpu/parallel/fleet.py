@@ -215,10 +215,11 @@ def random_fleet_scenario(
         olo, ohi = np.asarray(obstacle_box[0]), np.asarray(obstacle_box[1])
         n_obst = dims.n_obst
         links = list(problem.robot.collision_links)
-        fk0 = np.stack([
-            np.asarray(problem.kin.fk_pos_links(_jnp.asarray(xinit[b, : dims.n]), links))
-            for b in range(batch_size)
-        ])  # (B, L, 3)
+        fk0 = np.asarray(
+            jax.jit(jax.vmap(lambda q: problem.kin.fk_pos_links(q, links)))(
+                _jnp.asarray(xinit[:, : dims.n])
+            )
+        )  # (B, L, 3)
         pos = rng.uniform(olo, ohi, size=(batch_size, n_obst, 3)).astype(np.float32)
         rad = rng.uniform(*obstacle_radius, size=(batch_size, n_obst, 1)).astype(np.float32)
         for _ in range(32):

@@ -247,15 +247,18 @@ def build_solver(
     # ---------------- forward pass with batched line search ----------------
 
     def forward(xinit, X_ref, W_ref, k_ff, K, P, lam, mu, alpha):
+        # The sequential part carries only the (cheap) dynamics + gain
+        # application; the FK-heavy merit evaluation happens afterwards as
+        # one stage-batched op rather than 20 sequential ones.
         def step(x, inp):
-            x_ref, w_ref, k_k, K_k, p_k, lam_k = inp
+            x_ref, w_ref, k_k, K_k = inp
             w = w_ref + alpha * k_k + K_k @ (x - x_ref)
             w = jnp.clip(w, w_lb, w_ub)
-            cost_k = al_stage_cost(x, w, p_k, lam_k, mu)
             x_next = stage.dynamics(x, w[ns:])
-            return x_next, (x, w, cost_k)
+            return x_next, (x, w)
 
-        _, (X, W, costs) = lax.scan(step, xinit, (X_ref, W_ref, k_ff, K, P, lam))
+        _, (X, W) = lax.scan(step, xinit, (X_ref, W_ref, k_ff, K))
+        costs = jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
         return X, W, jnp.sum(costs)
 
     # ---------------- inner iLQR loop --------------------------------------
