@@ -28,6 +28,10 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
+    from robot_mpcs_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from robot_mpcs_tpu.config import load_setup
     from robot_mpcs_tpu.models.problem import MpcProblem
     from robot_mpcs_tpu.parallel.fleet import FleetRunner, random_fleet_scenario

@@ -104,6 +104,26 @@ def make_discrete_dynamics(
             x = step(x, u)
         return x
 
+    if dims.base_type == "holonomic":
+        # The double integrator is LINEAR, so any explicit RK scheme is an
+        # exact affine map with zero offset: F(x, u) = A_d x + B_d u. Fold
+        # the whole substep chain into two constant matrices once at build
+        # time — the rollout/forward scans then do one matvec per stage
+        # instead of `substeps` RK stages (identical values, fewer
+        # sequential ops in the solver's hot scans).
+        import jax
+        import numpy as np
+
+        x0 = jnp.zeros((dims.nx,), jnp.float32)
+        u0 = jnp.zeros((dims.nu,), jnp.float32)
+        A_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=0)(x0, u0)))
+        B_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=1)(x0, u0)))
+
+        def F_linear(x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+            return A_d.astype(x.dtype) @ x + B_d.astype(x.dtype) @ u
+
+        return F_linear
+
     return F
 
 

@@ -153,30 +153,37 @@ class RobotKinematics:
             )
         return self._chains[link]
 
-    def fk_frame(self, q: jnp.ndarray, link: Optional[str] = None) -> jnp.ndarray:
-        """Homogeneous transform root->link as a function of q, shape (4, 4)."""
-        link = link or self.end_link
-        segments = self._compile(link)
+    def _base_rp(self, q: jnp.ndarray):
+        """(R, p) of the world->root transform."""
         dtype = q.dtype
         if self.base_type == "diffdrive":
             t = planar_base_transform(q[0], q[1], q[2]).astype(dtype)
-        else:
-            t = jnp.eye(4, dtype=dtype)
+            return t[:3, :3], t[:3, 3]
+        return jnp.eye(3, dtype=dtype), jnp.zeros((3,), dtype=dtype)
+
+    def _walk(self, R, p, segments, q):
+        """Compose chain segments onto (R, p) in rotation/translation form
+        (cheaper than 4x4 products: no constant rows, no buffer updates)."""
         for seg in segments:
-            t = t @ jnp.asarray(seg.pre, dtype=dtype)
+            pre = jnp.asarray(seg.pre, dtype=q.dtype)
+            # T <- T @ pre
+            p = p + R @ pre[:3, 3]
+            R = R @ pre[:3, :3]
             if seg.kind == _REVOLUTE:
-                motion = jnp.eye(4, dtype=dtype)
-                motion = motion.at[:3, :3].set(
-                    _rotation_about_axis(jnp.asarray(seg.axis, dtype=dtype), q[seg.q_index])
+                R = R @ _rotation_about_axis(
+                    jnp.asarray(seg.axis, dtype=q.dtype), q[seg.q_index]
                 )
-                t = t @ motion
             elif seg.kind == _PRISMATIC:
-                motion = jnp.eye(4, dtype=dtype)
-                motion = motion.at[:3, 3].set(
-                    jnp.asarray(seg.axis, dtype=dtype) * q[seg.q_index]
-                )
-                t = t @ motion
-        return t
+                p = p + R @ (jnp.asarray(seg.axis, dtype=q.dtype) * q[seg.q_index])
+        return R, p
+
+    def fk_frame(self, q: jnp.ndarray, link: Optional[str] = None) -> jnp.ndarray:
+        """Homogeneous transform root->link as a function of q, shape (4, 4)."""
+        link = link or self.end_link
+        R0, p0 = self._base_rp(q)
+        R, p = self._walk(R0, p0, self._compile(link), q)
+        t = jnp.eye(4, dtype=q.dtype)
+        return t.at[:3, :3].set(R).at[:3, 3].set(p)
 
     def fk_pos(self, q: jnp.ndarray, link: Optional[str] = None) -> jnp.ndarray:
         """Position of ``link`` in the root frame, shape (3,).
@@ -184,8 +191,35 @@ class RobotKinematics:
         Equivalent of the reference's ``fk(..., positionOnly=True)[0:3]``
         (``mpcBase.py:89-94``).
         """
-        return self.fk_frame(q, link)[:3, 3]
+        link = link or self.end_link
+        R0, p0 = self._base_rp(q)
+        _, p = self._walk(R0, p0, self._compile(link), q)
+        return p
+
+    @staticmethod
+    def _seg_key(seg: _Segment):
+        return (seg.kind, seg.q_index, seg.pre.tobytes(), seg.axis.tobytes())
 
     def fk_pos_links(self, q: jnp.ndarray, links: Sequence[str]) -> jnp.ndarray:
-        """Stacked positions for several links, shape (len(links), 3)."""
-        return jnp.stack([self.fk_pos(q, l) for l in links])
+        """Stacked positions for several links, shape (len(links), 3).
+
+        Shares common chain prefixes across links (serial-arm collision links
+        all lie on the root->end path), so the whole set costs one walk of
+        the longest chain instead of one walk per link.
+        """
+        R0, p0 = self._base_rp(q)
+        cache = {(): (R0, p0)}
+        out = []
+        for link in links:
+            key = ()
+            R, p = R0, p0
+            for seg in self._compile(link):
+                new_key = key + (self._seg_key(seg),)
+                if new_key in cache:
+                    R, p = cache[new_key]
+                else:
+                    R, p = self._walk(R, p, [seg], q)
+                    cache[new_key] = (R, p)
+                key = new_key
+            out.append(p)
+        return jnp.stack(out)

@@ -94,6 +94,7 @@ class RadialConstraints(InequalityComponent):
     (reference ``RadialConstraints.py`` + ``mpcBase.py:82-101``)."""
 
     name = "RadialConstraints"
+    q_dependent = True
 
     def __init__(self, ctx: ModelContext):
         super().__init__(ctx)
@@ -105,6 +106,9 @@ class RadialConstraints(InequalityComponent):
 
     def eval_constraint(self, z, p, pm):
         q, _, _ = self.dims.extract_variables(z)
+        return self.eval_constraint_q(q, p, pm)
+
+    def eval_constraint_q(self, q, p, pm):
         return obstacle_distances(self.ctx, q, p, pm)
 
 
@@ -114,6 +118,7 @@ class LinearConstraints(InequalityComponent):
     Plane slots are per-stage parameters ``lin_constrs_<i>`` = [a, b, c, d]."""
 
     name = "LinearConstraints"
+    q_dependent = True
 
     def __init__(self, ctx: ModelContext):
         super().__init__(ctx)
@@ -126,6 +131,9 @@ class LinearConstraints(InequalityComponent):
 
     def eval_constraint(self, z, p, pm):
         q, _, _ = self.dims.extract_variables(z)
+        return self.eval_constraint_q(q, p, pm)
+
+    def eval_constraint_q(self, q, p, pm):
         fk_pos = self.ctx.kin.fk_pos_links(q, self.ctx.collision_links)  # (L, 3)
         r_body = pm.get(p, "r_body")[0]
         planes = jnp.stack(
@@ -140,6 +148,7 @@ class SelfCollisionAvoidanceConstraints(InequalityComponent):
     (reference ``SelfCollisionAvoidanceConstraints.py:18-27``)."""
 
     name = "SelfCollisionAvoidanceConstraints"
+    q_dependent = True
 
     def __init__(self, ctx: ModelContext):
         super().__init__(ctx)
@@ -150,9 +159,12 @@ class SelfCollisionAvoidanceConstraints(InequalityComponent):
         pm.register("r_body", 1)
 
     def eval_constraint(self, z, p, pm):
-        if not self.pairs:
-            return jnp.zeros((0,), dtype=z.dtype)
         q, _, _ = self.dims.extract_variables(z)
+        return self.eval_constraint_q(q, p, pm)
+
+    def eval_constraint_q(self, q, p, pm):
+        if not self.pairs:
+            return jnp.zeros((0,), dtype=q.dtype)
         r_body = pm.get(p, "r_body")[0]
         rows = []
         for l1, l2 in self.pairs:

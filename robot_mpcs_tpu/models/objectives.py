@@ -21,22 +21,9 @@ from robot_mpcs_tpu.models.components import (
     ModelContext,
     ObjectiveComponent,
     obstacle_distances,
+    safe_barrier as _safe_barrier,
 )
 from robot_mpcs_tpu.models.params import ParamMap
-
-
-def _safe_barrier(b: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
-    """Clamp a barrier denominator to be strictly positive.
-
-    The reference's raw ``1/c`` becomes *negative* on infeasible iterates
-    (c < 0), rewarding the minimizer for diving through obstacles — its
-    interior-point solver never visits that region, but an AL method does
-    during intermediate iterations. Clamping to ``max(c, eps)`` caps the
-    repulsion at a large positive plateau (zero gradient inside violation;
-    the hard AL constraint supplies the restoring force) while matching the
-    reference exactly on the feasible set where c >= eps.
-    """
-    return jnp.maximum(b, eps)
 
 
 class GoalReaching(ObjectiveComponent):
@@ -47,14 +34,13 @@ class GoalReaching(ObjectiveComponent):
 
     def __init__(self, ctx: ModelContext):
         super().__init__(ctx)
-        self.n_res = self.dims.m
+        self.n_res = self.n_res_q = self.dims.m
 
     def register_params(self, pm: ParamMap) -> None:
         pm.register("goal", self.dims.m)
         pm.register("wgoal", self.dims.m)
 
-    def residuals(self, z, p, pm):
-        q, _, _ = self.dims.extract_variables(z)
+    def residuals_q(self, q, p, pm):
         pos_ee = self.ctx.kin.fk_pos(q, self.ctx.robot.end_link)[: self.dims.m]
         return pos_ee - pm.get(p, "goal"), pm.get(p, "wgoal")
 
@@ -74,21 +60,34 @@ class ConstraintAvoidance(ObjectiveComponent):
     def __init__(self, ctx: ModelContext, ineq_modules=()):
         super().__init__(ctx)
         self.ineq_modules = [m for m in ineq_modules if m.n_ineq > 0]
+        # family split follows the module whose first row is penalized; the
+        # q-family rows come first in the canonical [q; affine] row order
+        self._mods_q = [(i, m) for i, m in enumerate(self.ineq_modules) if m.q_dependent]
+        self._mods_aff = [(i, m) for i, m in enumerate(self.ineq_modules) if not m.q_dependent]
         self.n_bar = len(self.ineq_modules)
+        self.n_bar_q = len(self._mods_q)
+        self.n_bar_aff = len(self._mods_aff)
 
     def register_params(self, pm: ParamMap) -> None:
         pm.register("wconstr", len(self.ctx.mpc.constraints))
 
-    def barriers(self, z, p, pm):
+    def _collect(self, mods, first_rows, p, pm, dtype):
         w = pm.get(p, "wconstr")
-        bars, weights = [], []
-        for i, module in enumerate(self.ineq_modules):
-            c = module.eval_constraint(z, p, pm)
-            bars.append(_safe_barrier(c[0]))
-            weights.append(self.dims.N * w[i])
+        # RAW first rows — the barrier clamp (components.BARRIER_EPS) is
+        # applied by the consumer so affine rows keep a constant Jacobian
+        bars = list(first_rows)
+        weights = [self.dims.N * w[i] for i, _ in mods]
         if not bars:
-            return (jnp.zeros((0,), z.dtype),) * 2
+            return (jnp.zeros((0,), dtype),) * 2
         return jnp.stack(bars), jnp.stack(weights)
+
+    def barriers_q(self, q, p, pm):
+        rows = [m.eval_constraint_q(q, p, pm)[0] for _, m in self._mods_q]
+        return self._collect(self._mods_q, rows, p, pm, q.dtype)
+
+    def barriers_aff(self, z, p, pm):
+        rows = [m.eval_constraint(z, p, pm)[0] for _, m in self._mods_aff]
+        return self._collect(self._mods_aff, rows, p, pm, z.dtype)
 
 
 class GoalMpcObjective(ObjectiveComponent):
@@ -108,6 +107,8 @@ class GoalMpcObjective(ObjectiveComponent):
         dims = self.dims
         n_obst_rows = dims.n_obst * len(ctx.collision_links)
         self.n_res = dims.m + (dims.nx - dims.n) + n_obst_rows
+        self.n_res_q = dims.m + n_obst_rows
+        self.n_res_aff = dims.nx - dims.n
 
     def register_params(self, pm: ParamMap) -> None:
         pm.register("wvel", self.dims.nx - self.dims.n)
@@ -117,21 +118,24 @@ class GoalMpcObjective(ObjectiveComponent):
         pm.register("g", self.dims.m)
         pm.register("wobst", 1)
 
-    def residuals(self, z, p, pm):
+    def residuals_q(self, q, p, pm):
         dims = self.dims
-        q, _, _ = dims.extract_variables(z)
-        vel = z[..., dims.n : dims.nx]
         pos_ee = self.ctx.kin.fk_pos(q, self.ctx.robot.end_link)[: dims.m]
         goal_res = pos_ee - pm.get(p, "g")
         if "obst" in pm:
             # inverse-square repulsion: residual 1/d with weight wobst
             inv = 1.0 / _safe_barrier(obstacle_distances(self.ctx, q, p, pm))
         else:
-            inv = jnp.zeros((self.n_res - dims.m - vel.shape[-1],), z.dtype)
-        res = jnp.concatenate([goal_res, vel, inv])
+            inv = jnp.zeros((self.n_res_q - dims.m,), q.dtype)
         wobst = jnp.broadcast_to(pm.get(p, "wobst"), inv.shape)
-        w = jnp.concatenate([pm.get(p, "w"), pm.get(p, "wvel"), wobst])
-        return res, w
+        return (
+            jnp.concatenate([goal_res, inv]),
+            jnp.concatenate([pm.get(p, "w"), wobst]),
+        )
+
+    def residuals_aff(self, z, p, pm):
+        vel = z[..., self.dims.n : self.dims.nx]
+        return vel, pm.get(p, "wvel")
 
 
 OBJECTIVE_REGISTRY = {

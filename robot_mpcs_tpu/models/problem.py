@@ -222,6 +222,117 @@ class MpcProblem:
         """Barrier rows per stage (inverse-clearance repulsion terms)."""
         return sum(c.n_bar for c in self.obj_components)
 
+    # ------------------------------------------------ split row families
+
+    def split_callbacks(self):
+        """Build the two-family structured stage callbacks for the solver.
+
+        Rows are partitioned by what they depend on:
+
+        * **q family** — rows that reach z only through the configuration
+          ``q = z[:n]`` (forward kinematics): goal residuals, obstacle /
+          self-collision / halfplane constraint rows and their barriers.
+          The solver differentiates these with just ``n`` tangents.
+        * **affine family** — rows affine in z with a *constant* Jacobian
+          (limits, bounds, control/slack penalty rows, velocity damping).
+          Their Jacobian ``S_aff`` is computed once here at build time; the
+          solver's Gauss-Newton assembly for them reduces to static GEMMs.
+
+        Returns a dict consumed by ``build_solver``. Constraint-row order
+        (the multiplier ABI) is ``[q-family module rows in config order;
+        affine module rows in config order; bound rows]``.
+        """
+        import jax
+
+        dims = self.dims
+        pm = self.param_map
+        rows = self.bound_rows()
+        b_idx = np.array([r[0] for r in rows], dtype=np.int32)
+        b_sign = np.array([r[1] for r in rows], dtype=np.float32)
+        b_bnd = np.array([r[2] for r in rows], dtype=np.float32)
+
+        ineq_q = [c for c in self.ineq_components if c.q_dependent]
+        ineq_aff = [c for c in self.ineq_components if not c.q_dependent]
+        n_con_q = sum(c.n_ineq for c in ineq_q)
+        n_con_aff = sum(c.n_ineq for c in ineq_aff) + len(rows)
+        n_res_q = sum(c.n_res_q for c in self.obj_components)
+        n_res_aff = (
+            sum(c.n_res_aff for c in self.obj_components) + dims.nu + dims.ns
+        )
+        n_bar_q = sum(c.n_bar_q for c in self.obj_components)
+        n_bar_aff = sum(c.n_bar_aff for c in self.obj_components)
+
+        def q_rows(q, p):
+            """[res_q; bar_q; con_q] — all FK-dependent rows, q tangents only.
+
+            Constraint rows here are UNSHIFTED; when ns > 0 the solver adds
+            the slack variable to them (constant unit Jacobian column)."""
+            res = [c.residuals_q(q, p, pm)[0] for c in self.obj_components]
+            bar = [c.barriers_q(q, p, pm)[0] for c in self.obj_components]
+            con = [c.eval_constraint_q(q, p, pm) for c in ineq_q]
+            parts = res + bar + con
+            return (
+                jnp.concatenate(parts)
+                if parts
+                else jnp.zeros((0,), q.dtype)
+            )
+
+        def aff_rows(z, p):
+            """[res_aff; bar_aff; con_aff] — rows affine in z (slack shift of
+            module constraint rows included; bound rows are not shifted,
+            mirroring the reference's lb/ub handling, mpcModel.py:91-104)."""
+            res = [c.residuals_aff(z, p, pm)[0] for c in self.obj_components]
+            res.append(z[dims.nx + dims.ns :])  # u rows (weight wu)
+            if dims.ns:
+                res.append(z[dims.nx : dims.nx + dims.ns])  # slack row (ws)
+            bar = [c.barriers_aff(z, p, pm)[0] for c in self.obj_components]
+            con = [c.eval_constraint(z, p, pm) for c in ineq_aff]
+            if dims.ns and con:
+                s = z[dims.nx]
+                con = [c + s for c in con]
+            if len(rows):
+                con.append(b_sign * (z[b_idx] - b_bnd))
+            parts = res + bar + con
+            return (
+                jnp.concatenate(parts)
+                if parts
+                else jnp.zeros((0,), z.dtype)
+            )
+
+        def weights_split(p):
+            """(w_res_q, w_bar_q, w_res_aff, w_bar_aff); weight vectors
+            depend on p only, so evaluating the components at 0 is exact."""
+            q0 = jnp.zeros((dims.n,), p.dtype)
+            z0 = jnp.zeros((dims.nz,), p.dtype)
+            wrq = [c.residuals_q(q0, p, pm)[1] for c in self.obj_components]
+            wbq = [c.barriers_q(q0, p, pm)[1] for c in self.obj_components]
+            wra = [c.residuals_aff(z0, p, pm)[1] for c in self.obj_components]
+            wra.append(pm.get(p, "wu"))
+            if dims.ns:
+                wra.append(pm.get(p, "ws"))
+            wba = [c.barriers_aff(z0, p, pm)[1] for c in self.obj_components]
+            cat = lambda xs: (
+                jnp.concatenate(xs) if xs else jnp.zeros((0,), p.dtype)
+            )
+            return cat(wrq), cat(wbq), cat(wra), cat(wba)
+
+        # constant affine Jacobian, computed once (p enters rows only as
+        # offsets; verified by tests/test_problem.py::test_affine_jacobian)
+        p0 = jnp.zeros((self.npar,), jnp.float32)
+        S_aff = np.asarray(
+            jax.jacfwd(lambda z: aff_rows(z, p0))(jnp.zeros((dims.nz,), jnp.float32))
+        )
+
+        return {
+            "q_rows": q_rows,
+            "aff_rows": aff_rows,
+            "weights_split": weights_split,
+            "S_aff": S_aff,
+            "q_seg": (n_res_q, n_bar_q, n_con_q),
+            "aff_seg": (n_res_aff, n_bar_aff, n_con_aff),
+            "n_q": dims.n,
+        }
+
     def solver_callbacks(self):
         """StageFunctions in the solver's (x, w, p) calling convention with
         w = [s, u], plus (w_lb, w_ub) clamp bounds.
@@ -300,6 +411,12 @@ class MpcProblem:
         from robot_mpcs_tpu.solver.al_ilqr import build_solver
 
         stage, w_lb, w_ub = self.solver_callbacks()
+        split = self.split_callbacks()
+        stage = stage._replace(
+            q_rows=split["q_rows"],
+            aff_rows=split["aff_rows"],
+            weights_split=split["weights_split"],
+        )
         return build_solver(
             stage,
             nx=self.dims.nx,
@@ -312,6 +429,10 @@ class MpcProblem:
             w_lb=w_lb,
             w_ub=w_ub,
             cfg=cfg or self.setup.solver,
+            n_q=split["n_q"],
+            q_seg=split["q_seg"],
+            aff_seg=split["aff_seg"],
+            S_aff=split["S_aff"],
         )
 
     # ----------------------------------------------------- artifact I/O

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from robot_mpcs_tpu.config import SolverConfiguration
+from robot_mpcs_tpu.models.components import BARRIER_EPS
 from robot_mpcs_tpu.solver.types import SolveResult
 
 
@@ -65,6 +66,13 @@ class StageFunctions(NamedTuple):
     values: Optional[Callable] = None  # (x, w, p) -> (n_res + n_bar + n_con,)
     weights: Optional[Callable] = None  # p -> (w_res, w_bar)
     dyn_jac: Union[None, Tuple, Callable] = None  # (A, B) consts | fn(x, u)
+    #: two-family split form (fastest path; see MpcProblem.split_callbacks):
+    #: q_rows(q, p) -> FK-dependent [res; bar; con] rows (q = x[:n_q]),
+    #: aff_rows(v, p) -> affine [res; bar; con] rows with constant Jacobian,
+    #: weights_split(p) -> (w_res_q, w_bar_q, w_res_aff, w_bar_aff).
+    q_rows: Optional[Callable] = None
+    aff_rows: Optional[Callable] = None
+    weights_split: Optional[Callable] = None
 
 
 def _al_penalty(c: jnp.ndarray, lam: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +94,10 @@ def build_solver(
     w_lb,
     w_ub,
     cfg: Optional[SolverConfiguration] = None,
+    n_q: int = 0,
+    q_seg: Optional[Tuple[int, int, int]] = None,
+    aff_seg: Optional[Tuple[int, int, int]] = None,
+    S_aff=None,
 ):
     """Build ``solve(xinit, params, z0, lam0) -> SolveResult``.
 
@@ -100,12 +112,115 @@ def build_solver(
     w_lb = jnp.broadcast_to(jnp.asarray(w_lb, dtype), (nw,))
     w_ub = jnp.broadcast_to(jnp.asarray(w_ub, dtype), (nw,))
     structured = stage.values is not None
+    split = stage.q_rows is not None
 
     alphas = cfg.line_search_decay ** jnp.arange(cfg.line_search_steps, dtype=dtype)
 
     # ---------------- stage-level pieces ----------------------------------
 
-    if structured:
+    if split:
+        # Two-family form (see MpcProblem.split_callbacks): FK-dependent
+        # rows differentiated with n_q tangents; affine rows with a constant
+        # build-time Jacobian whose Gauss-Newton contribution is two static
+        # GEMMs. This is the hot path for every built-in robot model.
+        import numpy as _np
+
+        qr, qb, qc = q_seg
+        ar, ab, ac = aff_seg
+        n_qrows = qr + qb + qc
+        if n_con != qc + ac:
+            raise ValueError(f"n_con {n_con} != q_con {qc} + aff_con {ac}")
+        S = jnp.asarray(S_aff, dtype)  # (n_arows, nv)
+        S_outer = jnp.asarray(
+            _np.einsum("ki,kj->kij", _np.asarray(S_aff), _np.asarray(S_aff)).reshape(
+                ar + ab + ac, nv * nv
+            ),
+            dtype,
+        )
+
+        def eval_families(x, w, p):
+            q = x[:n_q]
+            vq = stage.q_rows(q, p)
+            va = stage.aff_rows(jnp.concatenate([x, w]), p)
+            if ns and qc:
+                # slack-shift the q-family module constraint rows (the
+                # affine family shifts its own rows inside aff_rows)
+                vq = vq.at[qr + qb :].add(w[0])
+            return vq, va
+
+        def family_cost(vq, va, p):
+            """(true stage cost, stacked constraint rows [con_q; con_aff])."""
+            wrq, wbq, wra, wba = stage.weights_split(p)
+            total = jnp.sum(wrq * vq[:qr] ** 2) + jnp.sum(wra * va[:ar] ** 2)
+            total = total + jnp.sum(wbq / jnp.maximum(vq[qr : qr + qb], BARRIER_EPS))
+            total = total + jnp.sum(wba / jnp.maximum(va[ar : ar + ab], BARRIER_EPS))
+            c = jnp.concatenate([vq[qr + qb :], va[ar + ab :]])
+            return total, c
+
+        def true_cost(x, w, p):
+            vq, va = eval_families(x, w, p)
+            return family_cost(vq, va, p)[0]
+
+        def stage_ineq(x, w, p):
+            vq, va = eval_families(x, w, p)
+            return jnp.concatenate([vq[qr + qb :], va[ar + ab :]])
+
+        def al_stage_cost(x, w, p, lam, mu):
+            vq, va = eval_families(x, w, p)
+            cost, c = family_cost(vq, va, p)
+            return cost + _al_penalty(c, lam, mu)
+
+        def _coefs(r, wr, b, wb, c, lam_seg, mu):
+            """Per-row (gradient, curvature) scalars of the AL model:
+            residual rows w r^2, barrier rows w / b, constraint rows PHR."""
+            act = jnp.maximum(0.0, lam_seg - mu * c)
+            # barrier rows are RAW clearances; the merit clamps them at
+            # BARRIER_EPS, so inside the clamp the barrier contributes zero
+            # gradient/curvature (the AL constraint supplies the restoring
+            # force there)
+            live = b > BARRIER_EPS
+            bs = jnp.maximum(b, BARRIER_EPS)
+            g = jnp.concatenate([2.0 * wr * r, jnp.where(live, -wb / (bs * bs), 0.0), -act])
+            h = jnp.concatenate(
+                [
+                    2.0 * wr,
+                    jnp.where(live, jnp.maximum(2.0 * wb / (bs * bs * bs), 0.0), 0.0),
+                    mu * (act > 0),
+                ]
+            )
+            return g, h
+
+        def stage_expansion(x, w, p, lam, mu):
+            q = x[:n_q]
+            vq, jvp_q = jax.linearize(lambda qq: stage.q_rows(qq, p), q)
+            Jq = jax.vmap(jvp_q, out_axes=1)(jnp.eye(n_q, dtype=x.dtype))
+            va = stage.aff_rows(jnp.concatenate([x, w]), p)
+            if ns and qc:
+                vq = vq.at[qr + qb :].add(w[0])
+            wrq, wbq, wra, wba = stage.weights_split(p)
+            ga, ha = _coefs(
+                va[:ar], wra, va[ar : ar + ab], wba, va[ar + ab :], lam[qc:], mu
+            )
+            g = S.T @ ga
+            H = (S_outer.T @ ha).reshape(nv, nv)
+            if n_qrows:
+                gq, hq = _coefs(
+                    vq[:qr], wrq, vq[qr : qr + qb], wbq, vq[qr + qb :], lam[:qc], mu
+                )
+                g = g.at[:n_q].add(Jq.T @ gq)
+                H = H.at[:n_q, :n_q].add((Jq.T * hq) @ Jq)
+                if ns and qc:
+                    # unit slack column of the shifted q-module con rows
+                    s_col = nx
+                    gq_c, hq_c, Jq_c = gq[qr + qb :], hq[qr + qb :], Jq[qr + qb :]
+                    cross = Jq_c.T @ hq_c
+                    g = g.at[s_col].add(jnp.sum(gq_c))
+                    H = H.at[:n_q, s_col].add(cross)
+                    H = H.at[s_col, :n_q].add(cross)
+                    H = H.at[s_col, s_col].add(jnp.sum(hq_c))
+            return g, H
+
+    elif structured:
 
         def split_vals(vals):
             return vals[:n_res], vals[n_res : n_res + n_bar], vals[n_res + n_bar :]
@@ -115,7 +230,7 @@ def build_solver(
             w_res, w_bar = stage.weights(p)
             total = jnp.sum(w_res * r * r)
             if n_bar:
-                total = total + jnp.sum(w_bar / b)
+                total = total + jnp.sum(w_bar / jnp.maximum(b, BARRIER_EPS))
             return total
 
         def true_cost(x, w, p):
@@ -128,40 +243,46 @@ def build_solver(
         true_cost = stage.cost
         stage_ineq = stage.ineq
 
-    def al_stage_cost(x, w, p, lam, mu):
-        if structured:
-            vals = stage.values(x, w, p)
-            c = split_vals(vals)[2]
-            return stage_cost_from_vals(vals, p) + _al_penalty(c, lam, mu)
-        return stage.cost(x, w, p) + _al_penalty(stage.ineq(x, w, p), lam, mu)
+    if not split:
 
-    def stage_expansion(x, w, p, lam, mu):
-        """(g, H): exact AL gradient and PSD Hessian model at one stage."""
-        v = jnp.concatenate([x, w])
-        if structured:
-            vals_fn = lambda vv: stage.values(vv[:nx], vv[nx:], p)
-            vals = vals_fn(v)
-            J = jax.jacfwd(vals_fn)(v)  # (n_res+n_bar+n_con, nv)
-            r, b, c = split_vals(vals)
-            Jr, Jb, Jc = J[:n_res], J[n_res : n_res + n_bar], J[n_res + n_bar :]
-            w_res, w_bar = stage.weights(p)
-            act = jnp.maximum(0.0, lam - mu * c)  # active multiplier estimate
-            g = 2.0 * Jr.T @ (w_res * r) - Jc.T @ act
-            H = 2.0 * (Jr.T * w_res) @ Jr + mu * (Jc.T * (act > 0)) @ Jc
-            if n_bar:
-                g = g - Jb.T @ (w_bar / (b * b))
-                curv = jnp.maximum(2.0 * w_bar / (b * b * b), 0.0)
-                H = H + (Jb.T * curv) @ Jb
-            return g, H
-        # generic fallback: exact Hessian + Gershgorin PSD shift
-        f = lambda vv: al_stage_cost(vv[:nx], vv[nx:], p, lam, mu)
-        g = jax.grad(f)(v)
-        H = jax.hessian(f)(v)
-        H = 0.5 * (H + H.T)
-        diag = jnp.diagonal(H)
-        radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
-        shift = jnp.maximum(0.0, 1e-6 - jnp.min(diag - radius))
-        return g, H + shift * jnp.eye(nv, dtype=H.dtype)
+        def al_stage_cost(x, w, p, lam, mu):
+            if structured:
+                vals = stage.values(x, w, p)
+                c = split_vals(vals)[2]
+                return stage_cost_from_vals(vals, p) + _al_penalty(c, lam, mu)
+            return stage.cost(x, w, p) + _al_penalty(stage.ineq(x, w, p), lam, mu)
+
+        def stage_expansion(x, w, p, lam, mu):
+            """(g, H): exact AL gradient and PSD Hessian model at one stage."""
+            v = jnp.concatenate([x, w])
+            if structured:
+                vals_fn = lambda vv: stage.values(vv[:nx], vv[nx:], p)
+                vals = vals_fn(v)
+                J = jax.jacfwd(vals_fn)(v)  # (n_res+n_bar+n_con, nv)
+                r, b, c = split_vals(vals)
+                Jr, Jb, Jc = J[:n_res], J[n_res : n_res + n_bar], J[n_res + n_bar :]
+                w_res, w_bar = stage.weights(p)
+                act = jnp.maximum(0.0, lam - mu * c)  # active multiplier estimate
+                g = 2.0 * Jr.T @ (w_res * r) - Jc.T @ act
+                H = 2.0 * (Jr.T * w_res) @ Jr + mu * (Jc.T * (act > 0)) @ Jc
+                if n_bar:
+                    live = b > BARRIER_EPS
+                    bs = jnp.maximum(b, BARRIER_EPS)
+                    g = g - Jb.T @ jnp.where(live, w_bar / (bs * bs), 0.0)
+                    curv = jnp.where(
+                        live, jnp.maximum(2.0 * w_bar / (bs * bs * bs), 0.0), 0.0
+                    )
+                    H = H + (Jb.T * curv) @ Jb
+                return g, H
+            # generic fallback: exact Hessian + Gershgorin PSD shift
+            f = lambda vv: al_stage_cost(vv[:nx], vv[nx:], p, lam, mu)
+            g = jax.grad(f)(v)
+            H = jax.hessian(f)(v)
+            H = 0.5 * (H + H.T)
+            diag = jnp.diagonal(H)
+            radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
+            shift = jnp.maximum(0.0, 1e-6 - jnp.min(diag - radius))
+            return g, H + shift * jnp.eye(nv, dtype=H.dtype)
 
     if isinstance(stage.dyn_jac, tuple):
         A_const = jnp.asarray(stage.dyn_jac[0], dtype)
@@ -264,8 +385,19 @@ def build_solver(
     # ---------------- inner iLQR loop --------------------------------------
 
     def ilqr(xinit, X, W, P, lam, mu):
-        def iteration(carry, _):
-            X, W, reg, done, grad_norm, n_used = carry
+        """Inner iLQR on the AL objective. A ``while_loop`` (not a fixed
+        scan) so a warm-started batch that converges early stops paying for
+        the remaining iteration budget — under ``vmap`` the loop runs until
+        every scenario in the batch is done (per-scenario freezing via the
+        ``done`` mask), which on receding-horizon steps is typically a
+        handful of iterations."""
+
+        def cond(carry):
+            _, _, _, _, done, _, it = carry
+            return jnp.logical_and(it < cfg.max_ilqr_iterations, ~done)
+
+        def body(carry):
+            X, W, cost_cur, reg, done, grad_norm, it = carry
             g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
             lx, lw = g[:, :nx], g[:, nx:]
             lxx, lxw, lww = H[:, :nx, :nx], H[:, :nx, nx:], H[:, nx:, nx:]
@@ -275,18 +407,19 @@ def build_solver(
             B = B.at[-1].set(0.0)
             k_ff, K, failed = backward(lx, lw, lxx, lxw, lww, A, B, reg)
 
-            cost_old = total_al_cost(X, W, P, lam, mu)
             X_c, W_c, cost_c = jax.vmap(
                 lambda a: forward(xinit, X, W, k_ff, K, P, lam, mu, a)
             )(alphas)
             best = jnp.argmin(jnp.where(jnp.isfinite(cost_c), cost_c, jnp.inf))
             improved = jnp.logical_and(
-                jnp.isfinite(cost_c[best]), cost_c[best] < cost_old - 1e-9
+                jnp.isfinite(cost_c[best]), cost_c[best] < cost_cur - 1e-9
             )
             accept = jnp.logical_and(improved, jnp.logical_not(failed))
 
-            X_new = jnp.where(accept & ~done, X_c[best], X)
-            W_new = jnp.where(accept & ~done, W_c[best], W)
+            take = accept & ~done
+            X_new = jnp.where(take, X_c[best], X)
+            W_new = jnp.where(take, W_c[best], W)
+            cost_new = jnp.where(take, cost_c[best], cost_cur)
             reg_new = jnp.where(
                 accept,
                 jnp.maximum(reg * 0.5, cfg.reg_min),
@@ -294,18 +427,22 @@ def build_solver(
             )
             gn = jnp.max(jnp.abs(k_ff))
             done_new = done | (accept & (gn < cfg.tol_gradient))
-            n_used = n_used + jnp.where(done, 0, 1)
-            return (X_new, W_new, reg_new, done_new, gn, n_used), None
+            return (X_new, W_new, cost_new, reg_new, done_new, gn, it + 1)
 
-        reg0 = jnp.asarray(cfg.reg_initial, dtype)
-        done0 = jnp.asarray(False)
-        carry, _ = lax.scan(
-            iteration,
-            (X, W, reg0, done0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32)),
-            None,
-            length=cfg.max_ilqr_iterations,
+        carry = lax.while_loop(
+            cond,
+            body,
+            (
+                X,
+                W,
+                total_al_cost(X, W, P, lam, mu),
+                jnp.asarray(cfg.reg_initial, dtype),
+                jnp.asarray(False),
+                jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32),
+            ),
         )
-        X, W, _, _, grad_norm, n_used = carry
+        X, W, _, _, _, grad_norm, n_used = carry
         return X, W, grad_norm, n_used
 
     # ---------------- outer AL loop -----------------------------------------
@@ -323,8 +460,15 @@ def build_solver(
         )
         mu0 = jnp.asarray(cfg.penalty_initial, dtype)
 
-        def outer(carry, _):
-            X, W, lam, mu, grad_norm, n_inner = carry
+        def outer_cond(carry):
+            _, _, _, _, gn, _, viol, it = carry
+            unfinished = jnp.logical_or(
+                viol > cfg.tol_constraint, gn > cfg.tol_stationarity
+            )
+            return jnp.logical_and(it < cfg.max_al_iterations, unfinished)
+
+        def outer_body(carry):
+            X, W, lam, mu, grad_norm, n_inner, _, it = carry
             X, W, gn, used = ilqr(xinit, X, W, P, lam, mu)
             C = jax.vmap(stage_ineq)(X, W, P)  # (N, n_con)
             lam_new = jnp.maximum(0.0, lam - mu * C)
@@ -338,15 +482,26 @@ def build_solver(
                 jnp.minimum(mu * cfg.penalty_scale, cfg.penalty_max),
                 mu,
             )
-            return (X, W, lam_new, mu_new, gn, n_inner + used), None
+            return (X, W, lam_new, mu_new, gn, n_inner + used, viol, it + 1)
 
-        carry, _ = lax.scan(
-            outer,
-            (X, W, lam, mu0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32)),
-            None,
-            length=cfg.max_al_iterations,
+        # early exit once feasible + stationary (a warm-started receding-
+        # horizon batch often needs a single multiplier pass); worst case
+        # matches the fixed budget of max_al_iterations
+        carry = lax.while_loop(
+            outer_cond,
+            outer_body,
+            (
+                X,
+                W,
+                lam,
+                mu0,
+                jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32),
+            ),
         )
-        X, W, lam, _, grad_norm, n_inner = carry
+        X, W, lam, _, grad_norm, n_inner, _, _ = carry
 
         C = jax.vmap(stage_ineq)(X, W, P)
         viol = (

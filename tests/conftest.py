@@ -19,3 +19,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+_CONFIG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples",
+    "config",
+)
+
+
+def config_path(name: str) -> str:
+    """Absolute path of an example config yaml."""
+    return os.path.join(_CONFIG_DIR, name)
