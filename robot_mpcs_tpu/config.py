@@ -110,6 +110,10 @@ class SolverConfiguration:
     #: Compute dtype for the solver. f32 is the TPU-native choice; the tiny
     #: stage matrices (nz <= 24) make f32 accuracy sufficient in practice.
     dtype: str = "float32"
+    #: Riccati backward implementation: 'scan' (lax.scan of stage steps),
+    #: 'pallas' (fused VMEM-resident kernel, interpreted off-TPU), or
+    #: 'auto' (pallas on TPU, scan elsewhere).
+    riccati_backend: str = "auto"
 
     def __post_init__(self) -> None:
         if self.integrator not in ("erk2", "erk4", "euler"):

@@ -228,7 +228,15 @@ def random_fleet_scenario(
                 - rad[:, None, :, 0]
                 - r_body
             ).min(axis=(1, 2))
-            bad = clearance < 0.1
+            # an obstacle containing the goal point makes the scenario
+            # infeasible by construction (the tracker is asked to park the
+            # end-effector inside a forbidden sphere) — reject those too
+            goal_clear = (
+                np.linalg.norm(goals[:, None, :] - pos, axis=-1)
+                - rad[:, :, 0]
+                - r_body
+            ).min(axis=1)
+            bad = (clearance < 0.1) | (goal_clear < 0.1)
             if not bad.any():
                 break
             pos[bad] = rng.uniform(olo, ohi, size=(int(bad.sum()), n_obst, 3))

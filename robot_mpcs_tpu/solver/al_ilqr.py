@@ -365,6 +365,51 @@ def build_solver(
         )
         return k_ff, K, failed
 
+    # Pallas fused sweep: when the solve is vmapped on TPU, the batched
+    # backward runs as one VMEM-resident kernel (batch on lanes) instead of
+    # N scan steps of padded tiny-matrix ops — see riccati_pallas.py.
+    riccati_mode = getattr(cfg, "riccati_backend", "auto")
+    use_pallas = riccati_mode == "pallas" or (
+        riccati_mode == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_pallas:
+        from robot_mpcs_tpu.solver.riccati_pallas import riccati_backward_batched
+
+        scan_backward = backward
+
+        @jax.custom_batching.custom_vmap
+        def backward(lx, lw, lxx, lxw, lww, A, B, reg):
+            return scan_backward(lx, lw, lxx, lxw, lww, A, B, reg)
+
+        @backward.def_vmap
+        def _backward_vmap(axis_size, in_batched, *args):
+            # A/B (indices 5, 6) stay unbatched when the dynamics Jacobians
+            # are batch-constant — the kernel broadcasts them on lanes
+            dyn_batched = in_batched[5] or in_batched[6]
+            # VMEM budget check: per 128-lane block the kernel double-buffers
+            # its stage tensors; fall back to the vmapped scan if the
+            # footprint cannot fit (large nx with batched dynamics)
+            words = nx + nw + nx * nx + nx * nw + nw * nw  # l* terms
+            if dyn_batched:
+                words += nx * nx + nx * nw
+            words += nw + nw * nx  # outputs
+            vmem_bytes = 2 * 4 * N * 128 * words + (3 << 20)
+            if vmem_bytes > (15 << 20):
+                return jax.vmap(scan_backward)(*[
+                    a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                    for a, b in zip(args, in_batched)
+                ]), (True, True, True)
+            args = [
+                a
+                if b or i in (5, 6)
+                else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for i, (a, b) in enumerate(zip(args, in_batched))
+            ]
+            k_ff, K, failed = riccati_backward_batched(
+                *args, N=N, nx=nx, nw=nw
+            )
+            return (k_ff, K, failed), (True, True, True)
+
     # ---------------- forward pass with batched line search ----------------
 
     def forward(xinit, X_ref, W_ref, k_ff, K, P, lam, mu, alpha):
