@@ -82,9 +82,14 @@ class SolverConfiguration:
     integrator: str = "erk2"
     integrator_substeps: int = 4
     #: Outer augmented-Lagrangian iterations (multiplier/penalty updates).
-    max_al_iterations: int = 6
+    #: Caps are worst-case budgets — the solver's inner/outer while_loops
+    #: exit early once the batch is feasible + stationary, so these bind
+    #: only on stragglers. Defaults tuned on the panda fleet benchmark:
+    #: (4, 6) halves step time vs (6, 8) with equal-or-better constraint
+    #: violation (see scripts/profile_iters.py).
+    max_al_iterations: int = 4
     #: Inner iLQR iterations per AL iteration.
-    max_ilqr_iterations: int = 8
+    max_ilqr_iterations: int = 6
     #: Line-search step candidates (powers of line_search_decay from 1.0).
     line_search_steps: int = 8
     line_search_decay: float = 0.5

@@ -137,7 +137,9 @@ class FleetRunner:
         batched = shard_batch(
             self.mesh,
             {
-                "x": jnp.asarray(scenario.xinit, jnp.float32),
+                # explicit copy: fleet_step donates the state, and an
+                # aliased buffer would delete the caller's scenario.xinit
+                "x": jnp.array(scenario.xinit, jnp.float32, copy=True),
                 "z_warm": z0,
                 "lam": jnp.zeros((B, dims.N, self.problem.n_con), jnp.float32),
             },
