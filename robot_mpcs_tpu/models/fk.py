@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -189,18 +190,17 @@ class RobotKinematics:
         """Position of ``link`` in the root frame, shape (3,).
 
         Equivalent of the reference's ``fk(..., positionOnly=True)[0:3]``
-        (``mpcBase.py:89-94``).
+        (``mpcBase.py:89-94``); differentiable via the analytic-Jacobian
+        custom_jvp rule.
         """
         link = link or self.end_link
-        R0, p0 = self._base_rp(q)
-        _, p = self._walk(R0, p0, self._compile(link), q)
-        return p
+        return self._fk_ad((link,))(q)[0]
 
     @staticmethod
     def _seg_key(seg: _Segment):
         return (seg.kind, seg.q_index, seg.pre.tobytes(), seg.axis.tobytes())
 
-    def fk_pos_links(self, q: jnp.ndarray, links: Sequence[str]) -> jnp.ndarray:
+    def _fk_pos_links_raw(self, q: jnp.ndarray, links: Sequence[str]) -> jnp.ndarray:
         """Stacked positions for several links, shape (len(links), 3).
 
         Shares common chain prefixes across links (serial-arm collision links
@@ -223,3 +223,80 @@ class RobotKinematics:
                 key = new_key
             out.append(p)
         return jnp.stack(out)
+
+    def fk_pos_links_with_jac(self, q: jnp.ndarray, links: Sequence[str]):
+        """(positions (L, 3), geometric Jacobian (L, 3, n)) in one FK walk.
+
+        The analytic Jacobian replaces forward-mode AD through the transform
+        chain: a revolute joint j with world axis w_j and origin o_j moves a
+        downstream point p by ``w_j x (p - o_j)`` per radian; a prismatic
+        joint by ``w_j``; a diff-drive base contributes identity columns for
+        (x, y) and ``z x (p - base)`` for theta. One chain walk + L*n cross
+        products instead of n extra FK passes under ``jacfwd``.
+        """
+        dtype = q.dtype
+        R0, p0 = self._base_rp(q)
+        # cache: prefix -> (R, p, joint records [(q_index, kind, origin, axis_world)])
+        cache = {(): (R0, p0, ())}
+        P_rows, J_rows = [], []
+        for link in links:
+            key = ()
+            R, p, recs = R0, p0, ()
+            for seg in self._compile(link):
+                new_key = key + (self._seg_key(seg),)
+                if new_key in cache:
+                    R, p, recs = cache[new_key]
+                else:
+                    pre = jnp.asarray(seg.pre, dtype=dtype)
+                    p = p + R @ pre[:3, 3]
+                    R = R @ pre[:3, :3]
+                    if seg.kind == _REVOLUTE:
+                        w = R @ jnp.asarray(seg.axis, dtype=dtype)
+                        recs = recs + ((seg.q_index, _REVOLUTE, p, w),)
+                        R = R @ _rotation_about_axis(
+                            jnp.asarray(seg.axis, dtype=dtype), q[seg.q_index]
+                        )
+                    elif seg.kind == _PRISMATIC:
+                        w = R @ jnp.asarray(seg.axis, dtype=dtype)
+                        recs = recs + ((seg.q_index, _PRISMATIC, p, w),)
+                        p = p + w * q[seg.q_index]
+                    cache[new_key] = (R, p, recs)
+                key = new_key
+            cols = [jnp.zeros((3,), dtype)] * self.n
+            if self.base_type == "diffdrive":
+                base = jnp.stack([q[0], q[1], jnp.zeros((), dtype)])
+                cols[0] = jnp.array([1.0, 0.0, 0.0], dtype)
+                cols[1] = jnp.array([0.0, 1.0, 0.0], dtype)
+                cols[2] = jnp.cross(jnp.array([0.0, 0.0, 1.0], dtype), p - base)
+            for q_index, kind, origin, w in recs:
+                cols[q_index] = jnp.cross(w, p - origin) if kind == _REVOLUTE else w
+            P_rows.append(p)
+            J_rows.append(jnp.stack(cols, axis=-1))  # (3, n)
+        return jnp.stack(P_rows), jnp.stack(J_rows)
+
+    def _fk_ad(self, links: Tuple[str, ...]):
+        """custom_jvp-wrapped multi-link FK: the tangent rule uses the
+        analytic geometric Jacobian, so ``jax.linearize``/``jacfwd`` over
+        anything built on FK costs one FK walk + one (L, 3, n) Jacobian +
+        a matvec per tangent (instead of one full FK pass per tangent)."""
+        if not hasattr(self, "_ad_cache"):
+            self._ad_cache = {}
+        if links not in self._ad_cache:
+
+            @jax.custom_jvp
+            def fk(q):
+                return self._fk_pos_links_raw(q, links)
+
+            @fk.defjvp
+            def fk_jvp(primals, tangents):
+                (q,), (dq,) = primals, tangents
+                P, J = self.fk_pos_links_with_jac(q, links)
+                return P, jnp.einsum("lcn,n->lc", J, dq)
+
+            self._ad_cache[links] = fk
+        return self._ad_cache[links]
+
+    def fk_pos_links(self, q: jnp.ndarray, links: Sequence[str]) -> jnp.ndarray:
+        """Stacked positions for several links, shape (len(links), 3);
+        differentiable via the analytic-Jacobian custom_jvp rule."""
+        return self._fk_ad(tuple(links))(q)

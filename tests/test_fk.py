@@ -120,3 +120,32 @@ def test_joint_limits_extracted():
     _, kin = make_kin("panda")
     assert kin.joint_limits.shape == (7, 2)
     np.testing.assert_allclose(kin.joint_limits[0], [-2.8973, 2.8973])
+
+
+def test_analytic_jacobian_matches_autodiff():
+    """The custom_jvp geometric Jacobian must equal jacfwd through the raw
+    transform chain, for both holonomic (panda) and diffdrive (boxer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from robot_mpcs_tpu.assets import builtin_model
+    from robot_mpcs_tpu.models.fk import RobotKinematics
+
+    cases = [
+        ("panda", "panda_link0", "panda_link7", "holonomic",
+         ["panda_link3", "panda_link5", "panda_link7"]),
+        ("boxer", "base_link", "ee_link", "diffdrive", ["ee_link"]),
+        ("pointRobot", "world", "base_link", "holonomic", ["base_link"]),
+    ]
+    rng = np.random.default_rng(7)
+    for name, root, end, base, links in cases:
+        kin = RobotKinematics(builtin_model(name), root, end, base)
+        q = jnp.asarray(rng.normal(size=kin.n) * 0.7, jnp.float32)
+        P, J = kin.fk_pos_links_with_jac(q, links)
+        P_raw = kin._fk_pos_links_raw(q, links)
+        J_ad = jax.jacfwd(lambda qq: kin._fk_pos_links_raw(qq, links))(q)
+        np.testing.assert_allclose(np.asarray(P), np.asarray(P_raw), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad), atol=1e-4)
+        # and the custom_jvp route agrees with jacfwd of the public fn
+        J_pub = jax.jacfwd(lambda qq: kin.fk_pos_links(qq, links))(q)
+        np.testing.assert_allclose(np.asarray(J_pub), np.asarray(J_ad), atol=1e-4)
