@@ -114,8 +114,6 @@ def build_solver(
     structured = stage.values is not None
     split = stage.q_rows is not None
 
-    alphas = cfg.line_search_decay ** jnp.arange(cfg.line_search_steps, dtype=dtype)
-
     # ---------------- stage-level pieces ----------------------------------
 
     if split:
@@ -452,19 +450,41 @@ def build_solver(
             B = B.at[-1].set(0.0)
             k_ff, K, failed = backward(lx, lw, lxx, lxw, lww, A, B, reg)
 
-            X_c, W_c, cost_c = jax.vmap(
-                lambda a: forward(xinit, X, W, k_ff, K, P, lam, mu, a)
-            )(alphas)
-            best = jnp.argmin(jnp.where(jnp.isfinite(cost_c), cost_c, jnp.inf))
-            improved = jnp.logical_and(
-                jnp.isfinite(cost_c[best]), cost_c[best] < cost_cur - 1e-9
+            # Backtracking line search with early exit: a warm-started
+            # receding-horizon step almost always accepts the full Newton
+            # step, so evaluating candidates one at a time (largest alpha
+            # first) and stopping at the first improvement costs ~1 merit
+            # sweep in the common case instead of line_search_steps of them
+            # (worst case identical). Under vmap, lanes that accepted stop
+            # updating; the loop runs while any lane is still searching.
+            def ls_cond(c):
+                ls_it, accepted, _, _, _ = c
+                return jnp.logical_and(ls_it < cfg.line_search_steps, ~accepted)
+
+            def ls_body(c):
+                ls_it, accepted, Xb, Wb, costb = c
+                alpha = cfg.line_search_decay ** ls_it.astype(dtype)
+                X_c, W_c, cost_c = forward(xinit, X, W, k_ff, K, P, lam, mu, alpha)
+                better = jnp.logical_and(
+                    jnp.isfinite(cost_c), cost_c < cost_cur - 1e-9
+                )
+                take_c = better & ~accepted
+                Xb = jnp.where(take_c, X_c, Xb)
+                Wb = jnp.where(take_c, W_c, Wb)
+                costb = jnp.where(take_c, cost_c, costb)
+                return ls_it + 1, accepted | better, Xb, Wb, costb
+
+            _, improved, X_ls, W_ls, cost_ls = lax.while_loop(
+                ls_cond,
+                ls_body,
+                (jnp.asarray(0, jnp.int32), jnp.asarray(False), X, W, cost_cur),
             )
             accept = jnp.logical_and(improved, jnp.logical_not(failed))
 
             take = accept & ~done
-            X_new = jnp.where(take, X_c[best], X)
-            W_new = jnp.where(take, W_c[best], W)
-            cost_new = jnp.where(take, cost_c[best], cost_cur)
+            X_new = jnp.where(take, X_ls, X)
+            W_new = jnp.where(take, W_ls, W)
+            cost_new = jnp.where(take, cost_ls, cost_cur)
             reg_new = jnp.where(
                 accept,
                 jnp.maximum(reg * 0.5, cfg.reg_min),
