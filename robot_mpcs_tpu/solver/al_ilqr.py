@@ -6,32 +6,32 @@ drives (reference ``robotmpcs/models/mpcModel.py:74-129`` builds the problem,
 
 * **Equality structure (stage dynamics)** is eliminated by a Riccati backward
   sweep over the horizon — the same block-tridiagonal KKT factorization an
-  interior-point stage solver performs, expressed as ``lax.scan`` so XLA
-  compiles it into one fused loop of tiny-matrix ops.
+  interior-point stage solver performs. Unbatched it is a ``lax.scan``;
+  under ``vmap`` on TPU it dispatches (via ``jax.custom_batching``) to the
+  fused Pallas kernel in ``robot_mpcs_tpu/ops/riccati_pallas.py``.
 * **Inequalities + variable bounds** are handled by a PHR augmented
-  Lagrangian (ALTRO-style): fixed outer iterations update multipliers and a
-  scalar penalty; the inner iLQR minimizes the AL objective.
+  Lagrangian (ALTRO-style): outer iterations update multipliers and a scalar
+  penalty; the inner iLQR minimizes the AL objective.
 * **Gauss-Newton expansions**: every reference objective is diagonal-weighted
-  least squares + inverse barriers, so one ``jacfwd`` of the stacked
-  [residuals; barriers; constraints] vector yields the exact AL gradient and
-  a PSD-by-construction Hessian (J' D J products). No second-derivative
-  graphs, no eigendecompositions — the per-iteration work is dense
-  (rows x nv) x (nv x nv) matmul batches that XLA maps straight onto the
-  VPU/MXU. (A generic exact-Hessian fallback with Gershgorin PSD shift
-  exists for unstructured custom costs.)
+  least squares + inverse barriers. The fast path is the two-family split
+  (``StageFunctions.q_rows``/``aff_rows``): FK-dependent rows are
+  differentiated with only n tangents (the FK primitive's ``custom_jvp``
+  supplies the analytic geometric Jacobian), affine rows use a constant
+  build-time Jacobian whose Hessian contribution is a static GEMM. A
+  stacked-``values`` GN path and a generic exact-Hessian fallback (with
+  Gershgorin PSD shift) exist for custom problems.
 * **Batching**: the whole solve is a pure function of
-  ``(xinit, params, z0, lam0)`` with static shapes and fixed iteration
-  counts — ``jax.vmap`` turns it into a B-scenario batched device program,
-  and sharding over a mesh scales the batch axis across chips (see
-  ``robot_mpcs_tpu.parallel``).
+  ``(xinit, params, z0, lam0)`` with static shapes — ``jax.vmap`` turns it
+  into a B-scenario batched device program, and sharding over a mesh scales
+  the batch axis across chips (see ``robot_mpcs_tpu.parallel``).
+* **Early exit**: the inner iLQR loop, the outer AL loop, and the
+  backtracking line search are ``lax.while_loop``s. Under ``vmap`` each loop
+  runs until every lane in the batch is done (per-lane freezing via done
+  masks), so warm-started receding-horizon steps stop paying for the
+  worst-case iteration budget. The iteration caps bind only on stragglers.
 * **Linear dynamics shortcut**: holonomic robots have constant (A, B);
   they are computed once at build time and broadcast, removing per-stage
   Jacobian work from the hot loop.
-
-Per-scenario early exit is impossible under vmap, so convergence is handled
-with done-masking: converged scenarios freeze their iterates while the batch
-finishes the fixed iteration budget (the reference has no batching at all —
-one C solve per scenario per step, ``mpcPlanner.py:240-288``).
 """
 
 from __future__ import annotations
@@ -371,7 +371,7 @@ def build_solver(
         riccati_mode == "auto" and jax.default_backend() != "cpu"
     )
     if use_pallas:
-        from robot_mpcs_tpu.solver.riccati_pallas import riccati_backward_batched
+        from robot_mpcs_tpu.ops.riccati_pallas import riccati_backward_batched
 
         scan_backward = backward
 

@@ -13,7 +13,7 @@ from robot_mpcs_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 from tests.test_riccati_pallas import _random_lqr, _scan_backward
-from robot_mpcs_tpu.solver.riccati_pallas import riccati_backward_batched
+from robot_mpcs_tpu.ops.riccati_pallas import riccati_backward_batched
 
 B = int(os.environ.get("B", "4096"))
 nx, nw, N = 14, 7, 20

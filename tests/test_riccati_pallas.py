@@ -12,7 +12,7 @@ import pytest
 
 from robot_mpcs_tpu.config import SolverConfiguration
 from robot_mpcs_tpu.solver.al_ilqr import StageFunctions, build_solver
-from robot_mpcs_tpu.solver.riccati_pallas import riccati_backward_batched
+from robot_mpcs_tpu.ops.riccati_pallas import riccati_backward_batched
 
 
 def _random_lqr(B, N, nx, nw, seed=0):
