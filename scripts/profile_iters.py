@@ -33,10 +33,20 @@ scenario_raw = random_fleet_scenario(
     obstacle_box=((-0.8, -0.8, 0.2), (0.8, 0.8, 1.0)),
 )
 
-for al, ilqr, ls in [(6, 8, 8), (4, 6, 8), (3, 6, 6), (3, 4, 6), (2, 4, 6)]:
-    scfg = SolverConfiguration(
-        max_al_iterations=al, max_ilqr_iterations=ilqr, line_search_steps=ls
-    )
+import itertools
+
+CONFIGS = [
+    dict(),  # defaults
+    dict(penalty_initial=100.0),
+    dict(penalty_initial=100.0, penalty_scale=30.0),
+    dict(max_al_iterations=5),
+    dict(penalty_initial=100.0, max_al_iterations=5),
+]
+
+for overrides in CONFIGS:
+    scfg = SolverConfiguration(**overrides)
+    al, ilqr, ls = scfg.max_al_iterations, scfg.max_ilqr_iterations, scfg.line_search_steps
+    print("config:", overrides or "defaults", flush=True)
     runner = FleetRunner(problem, batch_size=B, mesh=mesh, solver_cfg=scfg)
     scenario = runner.shard_scenario(scenario_raw)
     state = runner.init_state(scenario)
