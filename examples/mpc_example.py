@@ -15,6 +15,9 @@ import sys
 
 import numpy as np
 
+# allow running examples as plain scripts without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from robot_mpcs_tpu.config import Setup, load_setup
 from robot_mpcs_tpu.models.problem import MpcProblem
 from robot_mpcs_tpu.planner.mpc_planner import MPCPlanner
