@@ -89,7 +89,9 @@ def _ldl_solve(Q: jnp.ndarray, R: jnp.ndarray, nw: int) -> Tuple[jnp.ndarray, jn
         d = q_at(j, j)
         for k in range(j):
             d = d - L[j][k] * L[j][k] * D[k]
-        is_bad = (d <= _PIVOT_TINY).astype(jnp.float32)
+        # NaN-aware: (d > tiny) is False for NaN pivots, so NaN inputs mark
+        # the lane failed (same contract as the scan path's isnan check)
+        is_bad = 1.0 - (d > _PIVOT_TINY).astype(jnp.float32)
         bad = jnp.maximum(bad, is_bad)
         d = d * (1.0 - is_bad) + is_bad
         D[j] = d
@@ -198,20 +200,25 @@ def riccati_backward_batched(lx, lw, lxx, lxw, lww, A, Bm, reg, *, N, nx, nw):
     B = lx.shape[0]
     Bp = pl.cdiv(B, BLK) * BLK
     pad = Bp - B
+    in_dtype = lx.dtype  # kernel computes in f32; cast back on the way out
 
     def prep(x):
+        x = x.astype(jnp.float32)
         if pad:
             x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
         return jnp.moveaxis(x, 0, -1)  # batch-last
 
     def prep_dyn(x):
+        x = x.astype(jnp.float32)
         if x.ndim == 3:  # constant across the batch: lane dim 1
             return x[..., None]
         return prep(x)
 
     args = [prep(x) for x in (lx, lw, lxx, lxw, lww)]
     args += [prep_dyn(A), prep_dyn(Bm)]
-    reg_p = jnp.pad(reg, (0, pad)) if pad else reg
+    reg_p = reg.astype(jnp.float32)
+    if pad:
+        reg_p = jnp.pad(reg_p, (0, pad))
     args.append(reg_p[None, :])  # (1, Bp)
 
     grid = (Bp // BLK,)
@@ -246,7 +253,7 @@ def riccati_backward_batched(lx, lw, lxx, lxw, lww, A, Bm, reg, *, N, nx, nw):
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
     )(*args)
-    kff = jnp.moveaxis(kff, -1, 0)[:B]
-    K = jnp.moveaxis(K, -1, 0)[:B]
+    kff = jnp.moveaxis(kff, -1, 0)[:B].astype(in_dtype)
+    K = jnp.moveaxis(K, -1, 0)[:B].astype(in_dtype)
     failed = failed[0, :B] > 0.5
     return kff, K, failed

@@ -436,11 +436,11 @@ def build_solver(
         handful of iterations."""
 
         def cond(carry):
-            _, _, _, _, done, _, it = carry
+            _, _, _, _, done, _, _, it = carry
             return jnp.logical_and(it < cfg.max_ilqr_iterations, ~done)
 
         def body(carry):
-            X, W, cost_cur, reg, done, grad_norm, it = carry
+            X, W, cost_cur, reg, done, grad_norm, n_used, it = carry
             g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
             lx, lw = g[:, :nx], g[:, nx:]
             lxx, lxw, lww = H[:, :nx, :nx], H[:, :nx, nx:], H[:, nx:, nx:]
@@ -485,14 +485,23 @@ def build_solver(
             X_new = jnp.where(take, X_ls, X)
             W_new = jnp.where(take, W_ls, W)
             cost_new = jnp.where(take, cost_ls, cost_cur)
-            reg_new = jnp.where(
+            # freeze reg and the grad-norm diagnostic for lanes that already
+            # converged: under vmap a done lane keeps executing the body while
+            # stragglers finish, and letting gn/reg drift would make the lane
+            # exit reporting grad_norm > tol (keeping the outer AL loop alive
+            # and flipping its exitflag to 0 despite convergence)
+            reg_step = jnp.where(
                 accept,
                 jnp.maximum(reg * 0.5, cfg.reg_min),
                 jnp.minimum(reg * 10.0, cfg.reg_max),
             )
-            gn = jnp.max(jnp.abs(k_ff))
-            done_new = done | (accept & (gn < cfg.tol_gradient))
-            return (X_new, W_new, cost_new, reg_new, done_new, gn, it + 1)
+            reg_new = jnp.where(done, reg, reg_step)
+            gn_step = jnp.max(jnp.abs(k_ff))
+            gn = jnp.where(done, grad_norm, gn_step)
+            done_new = done | (accept & (gn_step < cfg.tol_gradient))
+            # per-lane iteration count (the shared `it` is the max over lanes)
+            n_used_new = n_used + jnp.where(done, 0, 1)
+            return (X_new, W_new, cost_new, reg_new, done_new, gn, n_used_new, it + 1)
 
         carry = lax.while_loop(
             cond,
@@ -505,9 +514,10 @@ def build_solver(
                 jnp.asarray(False),
                 jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
             ),
         )
-        X, W, _, _, _, grad_norm, n_used = carry
+        X, W, _, _, _, grad_norm, n_used, _ = carry
         return X, W, grad_norm, n_used
 
     # ---------------- outer AL loop -----------------------------------------
