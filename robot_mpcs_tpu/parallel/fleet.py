@@ -50,6 +50,11 @@ class FleetMetrics(NamedTuple):
     #: fraction of scenarios whose warm start was reset this step because the
     #: solve came back unusable (diverged / heavily violated)
     reset_fraction: jnp.ndarray
+    #: inner iLQR iterations actually used, averaged / maxed over the batch
+    #: (the per-solve cost signal the reference's unread ForcesPro ``info``
+    #: struct carried, reference mpcPlanner.py:262 — here it is first-class)
+    mean_iterations: jnp.ndarray
+    max_iterations: jnp.ndarray
 
 
 class FleetRunner:
@@ -119,6 +124,8 @@ class FleetRunner:
                 max_violation=jnp.max(res.violation),
                 mean_goal_distance=jnp.mean(gdist),
                 reset_fraction=jnp.mean(was_reset.astype(jnp.float32)),
+                mean_iterations=jnp.mean(res.iterations.astype(jnp.float32)),
+                max_iterations=jnp.max(res.iterations),
             )
             new_state = FleetState(
                 x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1

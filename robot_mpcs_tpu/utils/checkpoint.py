@@ -1,0 +1,96 @@
+"""Checkpoint / resume for long-running fleet rollouts.
+
+The reference has no checkpointing at all (SURVEY §5: its nearest analogs are
+the persisted solver artifact, reference ``robotmpcs/models/mpcModel.py:132-141``,
+and the warm-start state ``self._x0`` / ``self.output`` carried across steps,
+reference ``robotmpcs/planner/mpcPlanner.py:215-236``). For a production fleet
+the device-resident :class:`~robot_mpcs_tpu.parallel.fleet.FleetState` (plant
+state, warm-start trajectories, AL multipliers, step counter) IS the job
+state — losing it on preemption forfeits the warm starts and every scenario's
+progress. This module persists that state atomically and restores it with the
+correct mesh sharding.
+
+Design notes (TPU-first):
+
+* Save path gathers shards to host with ``jax.device_get`` — one transfer per
+  leaf, off the hot loop — and writes a single ``.npz`` via an atomic
+  ``os.replace`` so a preemption mid-write never leaves a torn checkpoint.
+* Restore re-shards onto the caller's mesh, so a checkpoint taken on one
+  topology (e.g. 16 chips) resumes on another (e.g. 8) as long as the batch
+  divides the device count.
+* No orbax dependency: fleet state is a flat NamedTuple of dense arrays, and
+  a stdlib-only format keeps restore possible anywhere numpy exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FORMAT_VERSION = 1
+
+
+def save_fleet_state(path: str, state, extra: Optional[dict] = None) -> None:
+    """Write ``state`` to ``path`` (.npz) atomically.
+
+    ``extra`` is an optional JSON-serializable dict (e.g. scenario seed,
+    config digest) stored alongside the arrays for provenance checks at
+    restore time.
+    """
+    host = jax.device_get(state)
+    meta = {"version": _FORMAT_VERSION, "extra": extra or {}}
+    payload = {
+        "x": np.asarray(host.x),
+        "z_warm": np.asarray(host.z_warm),
+        "lam": np.asarray(host.lam),
+        "step": np.asarray(host.step),
+        "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    }
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_fleet_state(path: str, mesh=None):
+    """Load a fleet checkpoint; returns ``(state, extra)``.
+
+    With ``mesh`` given, batched leaves are device-put sharded on the batch
+    axis (the checkpoint's original topology is irrelevant — only
+    ``batch % mesh size == 0`` must hold). Without a mesh the state stays on
+    the default device, which is what single-chip tests want.
+    """
+    # imported here, not at module scope: utils is imported by the model
+    # layer, which parallel.fleet builds on (avoids a circular import)
+    from robot_mpcs_tpu.parallel.fleet import FleetState
+    from robot_mpcs_tpu.parallel.mesh import shard_batch
+
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        if meta.get("version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported fleet checkpoint version {meta.get('version')!r}"
+            )
+        x = jnp.asarray(data["x"])
+        z_warm = jnp.asarray(data["z_warm"])
+        lam = jnp.asarray(data["lam"])
+        step = jnp.asarray(data["step"])
+    if mesh is not None:
+        sharded = shard_batch(mesh, {"x": x, "z_warm": z_warm, "lam": lam})
+        state = FleetState(step=step, **sharded)
+    else:
+        state = FleetState(x=x, z_warm=z_warm, lam=lam, step=step)
+    return state, meta["extra"]
