@@ -92,6 +92,7 @@ def main() -> None:
             "max_violation": float(metrics.max_violation),
             "mean_goal_distance": float(metrics.mean_goal_distance),
             "reset_fraction": float(metrics.reset_fraction),
+            "mean_iterations": round(float(metrics.mean_iterations), 2),
             "p50_step_latency_ms": round(1000.0 * elapsed / steps, 2),
         },
     }

@@ -587,7 +587,11 @@ def build_solver(
         cost = jnp.sum(jax.vmap(true_cost)(X, W, P))
         z = jnp.concatenate([X, W], axis=-1)
 
-        finite = jnp.all(jnp.isfinite(z))
+        # a finite trajectory with non-finite violation/cost (e.g. NaN
+        # parameters) is still a numerical failure, not a usable plan
+        finite = (
+            jnp.all(jnp.isfinite(z)) & jnp.isfinite(viol) & jnp.isfinite(cost)
+        )
         converged = finite & (viol <= cfg.tol_constraint) & (grad_norm <= cfg.tol_stationarity)
         exitflag = jnp.where(converged, 1, jnp.where(finite, 0, -1)).astype(jnp.int32)
         return SolveResult(

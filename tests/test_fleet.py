@@ -62,3 +62,45 @@ def test_fleet_matches_single_scenario(point_problem):
     state, _ = runner.run(scenario, n_steps=10)
     xs = np.asarray(state.x)
     np.testing.assert_allclose(xs, np.tile(xs[0:1], (B, 1)), atol=5e-4, rtol=1e-4)
+
+
+def test_fault_injection_brakes_and_resets(point_problem):
+    """Failure detection (SURVEY §5: the reference only prints on
+    exitflag < 0, mpcPlanner.py:263-264): a scenario whose parameters are
+    poisoned with NaN must (a) be flagged non-converged, (b) execute a brake
+    (zero action), (c) have its warm start cold-restarted — while healthy
+    lanes in the same batch proceed untouched.
+    """
+    mesh = make_mesh()
+    B = 8
+    runner = FleetRunner(point_problem, batch_size=B, mesh=mesh)
+    scenario = random_fleet_scenario(
+        point_problem, B, seed=13,
+        goal_box=((-2, -2, 0.05), (2, 2, 0.05)),
+        obstacle_box=((5, 5, 0.05), (6, 6, 0.05)),
+    )
+    params = np.asarray(scenario.params).copy()
+    params[0] = np.nan  # poison lane 0 only
+    scenario = scenario._replace(params=jax.numpy.asarray(params))
+    scenario = runner.shard_scenario(scenario)
+
+    state0 = runner.init_state(scenario)
+    x_before = np.asarray(state0.x).copy()
+    state, metrics = runner.step(state0, scenario)
+
+    assert float(metrics.reset_fraction) == pytest.approx(1.0 / B)
+    assert float(metrics.converged_fraction) <= (B - 1) / B
+    x_after = np.asarray(state.x)
+    dims = point_problem.dims
+    # braked lane: plant stepped with u = 0 from a zero-velocity start -> frozen
+    np.testing.assert_allclose(x_after[0], x_before[0], atol=1e-6)
+    # its warm start is the cold restart (states pinned to x_next, [s,u] zeroed)
+    z0 = np.asarray(state.z_warm)[0]
+    np.testing.assert_allclose(z0[:, dims.nx:], 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        z0[:, :dims.nx], np.tile(x_after[0], (dims.N, 1)), atol=1e-6
+    )
+    assert np.all(np.asarray(state.lam)[0] == 0.0)
+    # healthy lanes moved and kept finite warm starts
+    assert np.all(np.isfinite(x_after[1:]))
+    assert np.any(np.abs(x_after[1:] - x_before[1:]) > 1e-6)
