@@ -83,30 +83,42 @@ class SolverConfiguration:
     integrator_substeps: int = 4
     #: Outer augmented-Lagrangian iterations (multiplier/penalty updates).
     #: Caps are worst-case budgets — the solver's inner/outer while_loops
-    #: exit early once the batch is feasible + stationary, so these bind
-    #: only on stragglers. Defaults tuned on the panda fleet benchmark:
-    #: (4, 6) halves step time vs (6, 8) with equal-or-better constraint
-    #: violation (see scripts/profile_iters.py).
+    #: exit early per lane once feasible + stationary (converged lanes are
+    #: frozen and skip all inner work), so these bind only on stragglers.
+    #: Defaults tuned on the panda fleet benchmark (round 3): (4, 8) with
+    #: penalty_initial=100 reaches exitflag==1 on >= 97% of warm-started
+    #: lanes at max violation < 1e-4 (see scripts/profile_round3.py).
     max_al_iterations: int = 4
     #: Inner iLQR iterations per AL iteration.
-    max_ilqr_iterations: int = 6
+    max_ilqr_iterations: int = 8
     #: Line-search step candidates (powers of line_search_decay from 1.0).
     line_search_steps: int = 8
     line_search_decay: float = 0.5
     #: Initial / growth / max penalty for the AL method.
-    penalty_initial: float = 10.0
+    penalty_initial: float = 100.0
     penalty_scale: float = 10.0
     penalty_max: float = 1.0e8
     #: Levenberg-Marquardt regularization bounds for the Riccati sweep.
     reg_initial: float = 1.0e-6
     reg_min: float = 1.0e-9
     reg_max: float = 1.0e8
-    #: Convergence tolerances: gradient norm (inner-loop early-freeze), max
-    #: constraint violation, and the stationarity level reported as
-    #: "converged" in the exitflag (f32 noise floor is ~1e-5).
-    tol_gradient: float = 1.0e-6
-    tol_constraint: float = 1.0e-5
-    tol_stationarity: float = 1.0e-4
+    #: Largest LM reg at which a small Newton step (max |k_ff| < tol_gradient)
+    #: is trusted as evidence of stationarity. A huge reg shrinks k_ff
+    #: artificially (k_ff ~ grad/reg), so lanes stuck at reg >> 1 are never
+    #: declared converged by the step-size test.
+    reg_converged_max: float = 1.0
+    #: Convergence tolerances on the Newton-step stationarity measure
+    #: max |k_ff| (in control units) and the max constraint violation.
+    #: tol_gradient is the clean inner-loop exit; tol_stationarity is the
+    #: acceptance bar for exitflag == 1 — it also admits lanes whose line
+    #: search can no longer measure progress in f32 (merit noise floor is
+    #: ~1e-5 relative, so cost decreases from steps < ~1e-3 are invisible)
+    #: once their Newton step is already below it. Consistent with the
+    #: < 1e-3 control-error parity target (BASELINE.md; verified against an
+    #: independent NLP solver in tests/test_parity.py).
+    tol_gradient: float = 1.0e-4
+    tol_constraint: float = 1.0e-4
+    tol_stationarity: float = 1.0e-3
     #: Stage-Hessian PSD-ization strategy: 'eigh' (exact eigenvalue clamp,
     #: accurate but slow on TPU — eigh lowers to an iterative algorithm) or
     #: 'gershgorin' (diagonal shift by the Gershgorin lower bound — one

@@ -43,6 +43,9 @@ class FleetState(NamedTuple):
 
 
 class FleetMetrics(NamedTuple):
+    #: fraction of solves that genuinely converged (exitflag == 1: feasible
+    #: to tol_constraint AND stationary to tol_gradient). NOT "didn't blow
+    #: up" — that is ``1 - reset_fraction``.
     converged_fraction: jnp.ndarray
     mean_cost: jnp.ndarray
     max_violation: jnp.ndarray
@@ -118,11 +121,20 @@ class FleetRunner:
             x_next, z_shift, lam_shift, res, gdist, was_reset = jax.vmap(single_step)(
                 state.x, state.z_warm, state.lam, scenario.params
             )
+            # Reductions mask out failed lanes: one NaN lane (the exact
+            # fault-injection scenario test_fleet exercises) must not poison
+            # the whole-batch aggregates — reset_fraction reports the failures.
+            ok = ~was_reset
+            n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
+
+            def ok_mean(v):
+                return jnp.sum(jnp.where(ok, v, 0.0)) / n_ok
+
             metrics = FleetMetrics(
-                converged_fraction=jnp.mean((res.exitflag >= 0).astype(jnp.float32)),
-                mean_cost=jnp.mean(res.cost),
-                max_violation=jnp.max(res.violation),
-                mean_goal_distance=jnp.mean(gdist),
+                converged_fraction=jnp.mean((res.exitflag == 1).astype(jnp.float32)),
+                mean_cost=ok_mean(res.cost),
+                max_violation=jnp.max(jnp.where(ok, res.violation, 0.0)),
+                mean_goal_distance=ok_mean(gdist),
                 reset_fraction=jnp.mean(was_reset.astype(jnp.float32)),
                 mean_iterations=jnp.mean(res.iterations.astype(jnp.float32)),
                 max_iterations=jnp.max(res.iterations),
@@ -214,6 +226,45 @@ def random_fleet_scenario(
     else:
         xinit[:, :3] = rng.uniform(-1.0, 1.0, size=(batch_size, 3))
 
+    # Initial states must satisfy the state-only constraints the problem
+    # imposes AT t=0 (x0 is pinned — no solver can repair an initially
+    # violated clearance): rejection-sample configurations until every
+    # configured self-collision pair starts with >= 2*r_body + margin.
+    sc_pairs = (
+        problem.robot.self_collision_pairs
+        if "SelfCollisionAvoidanceConstraints" in problem.mpc.constraints
+        else []
+    )
+    if sc_pairs and dims.base_type == "holonomic":
+        pair_links = sorted({l for pair in sc_pairs for l in pair})
+
+        @jax.jit
+        @jax.vmap
+        def _pair_clearance(q):
+            fk = {l: problem.kin.fk_pos(q, l) for l in pair_links}
+            d = jnp.stack(
+                [jnp.linalg.norm(fk[a] - fk[b]) for a, b in sc_pairs]
+            )
+            return jnp.min(d) - 2.0 * r_body
+
+        for attempt in range(32):
+            clear = np.asarray(_pair_clearance(jnp.asarray(xinit[:, : dims.n])))
+            bad = clear < 0.05
+            if not bad.any():
+                break
+            xinit[bad, : dims.n] = rng.uniform(
+                -1.0, 1.0, size=(int(bad.sum()), dims.n)
+            )
+        else:
+            import warnings
+
+            warnings.warn(
+                f"random_fleet_scenario: self-collision rejection sampling "
+                f"exhausted after 32 rounds; {int(bad.sum())}/{batch_size} "
+                f"scenarios start within 2*r_body of self-collision",
+                stacklevel=2,
+            )
+
     if "obst" in pm.entries:
         # Rejection-sample obstacle positions so no scenario *starts* in
         # collision (an initially-violated hard constraint is an invalid
@@ -250,6 +301,15 @@ def random_fleet_scenario(
                 break
             pos[bad] = rng.uniform(olo, ohi, size=(int(bad.sum()), n_obst, 3))
             rad[bad] = rng.uniform(*obstacle_radius, size=(int(bad.sum()), n_obst, 1))
+        else:
+            import warnings
+
+            warnings.warn(
+                f"random_fleet_scenario: obstacle rejection sampling exhausted "
+                f"after 32 rounds; {int(bad.sum())}/{batch_size} scenarios keep "
+                f"an obstacle within 0.1 of the start pose or goal",
+                stacklevel=2,
+            )
         set_all("obst", np.concatenate([pos, rad], axis=-1).reshape(batch_size, -1))
     for i in range(dims.n_obst):
         if f"lin_constrs_{i}" in pm.entries:

@@ -98,6 +98,7 @@ def build_solver(
     q_seg: Optional[Tuple[int, int, int]] = None,
     aff_seg: Optional[Tuple[int, int, int]] = None,
     S_aff=None,
+    pinned_rows=None,
 ):
     """Build ``solve(xinit, params, z0, lam0) -> SolveResult``.
 
@@ -163,9 +164,11 @@ def build_solver(
             vq, va = eval_families(x, w, p)
             return jnp.concatenate([vq[qr + qb :], va[ar + ab :]])
 
-        def al_stage_cost(x, w, p, lam, mu):
+        def al_stage_cost(x, w, p, lam, mu, c_off=None):
             vq, va = eval_families(x, w, p)
             cost, c = family_cost(vq, va, p)
+            if c_off is not None:
+                c = c + c_off
             return cost + _al_penalty(c, lam, mu)
 
         def _coefs(r, wr, b, wb, c, lam_seg, mu):
@@ -188,22 +191,25 @@ def build_solver(
             )
             return g, h
 
-        def stage_expansion(x, w, p, lam, mu):
+        def stage_expansion(x, w, p, lam, mu, c_off=None):
             q = x[:n_q]
             vq, jvp_q = jax.linearize(lambda qq: stage.q_rows(qq, p), q)
             Jq = jax.vmap(jvp_q, out_axes=1)(jnp.eye(n_q, dtype=x.dtype))
             va = stage.aff_rows(jnp.concatenate([x, w]), p)
             if ns and qc:
                 vq = vq.at[qr + qb :].add(w[0])
+            cq, ca = vq[qr + qb :], va[ar + ab :]
+            if c_off is not None:
+                cq, ca = cq + c_off[:qc], ca + c_off[qc:]
             wrq, wbq, wra, wba = stage.weights_split(p)
             ga, ha = _coefs(
-                va[:ar], wra, va[ar : ar + ab], wba, va[ar + ab :], lam[qc:], mu
+                va[:ar], wra, va[ar : ar + ab], wba, ca, lam[qc:], mu
             )
             g = S.T @ ga
             H = (S_outer.T @ ha).reshape(nv, nv)
             if n_qrows:
                 gq, hq = _coefs(
-                    vq[:qr], wrq, vq[qr : qr + qb], wbq, vq[qr + qb :], lam[:qc], mu
+                    vq[:qr], wrq, vq[qr : qr + qb], wbq, cq, lam[:qc], mu
                 )
                 g = g.at[:n_q].add(Jq.T @ gq)
                 H = H.at[:n_q, :n_q].add((Jq.T * hq) @ Jq)
@@ -243,14 +249,19 @@ def build_solver(
 
     if not split:
 
-        def al_stage_cost(x, w, p, lam, mu):
+        def al_stage_cost(x, w, p, lam, mu, c_off=None):
             if structured:
                 vals = stage.values(x, w, p)
                 c = split_vals(vals)[2]
+                if c_off is not None:
+                    c = c + c_off
                 return stage_cost_from_vals(vals, p) + _al_penalty(c, lam, mu)
-            return stage.cost(x, w, p) + _al_penalty(stage.ineq(x, w, p), lam, mu)
+            c = stage.ineq(x, w, p)
+            if c_off is not None:
+                c = c + c_off
+            return stage.cost(x, w, p) + _al_penalty(c, lam, mu)
 
-        def stage_expansion(x, w, p, lam, mu):
+        def stage_expansion(x, w, p, lam, mu, c_off=None):
             """(g, H): exact AL gradient and PSD Hessian model at one stage."""
             v = jnp.concatenate([x, w])
             if structured:
@@ -258,6 +269,8 @@ def build_solver(
                 vals = vals_fn(v)
                 J = jax.jacfwd(vals_fn)(v)  # (n_res+n_bar+n_con, nv)
                 r, b, c = split_vals(vals)
+                if c_off is not None:
+                    c = c + c_off
                 Jr, Jb, Jc = J[:n_res], J[n_res : n_res + n_bar], J[n_res + n_bar :]
                 w_res, w_bar = stage.weights(p)
                 act = jnp.maximum(0.0, lam - mu * c)  # active multiplier estimate
@@ -273,7 +286,7 @@ def build_solver(
                     H = H + (Jb.T * curv) @ Jb
                 return g, H
             # generic fallback: exact Hessian + Gershgorin PSD shift
-            f = lambda vv: al_stage_cost(vv[:nx], vv[nx:], p, lam, mu)
+            f = lambda vv: al_stage_cost(vv[:nx], vv[nx:], p, lam, mu, c_off)
             g = jax.grad(f)(v)
             H = jax.hessian(f)(v)
             H = 0.5 * (H + H.T)
@@ -281,6 +294,39 @@ def build_solver(
             radius = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(diag)
             shift = jnp.maximum(0.0, 1e-6 - jnp.min(diag - radius))
             return g, H + shift * jnp.eye(nv, dtype=H.dtype)
+
+    # ---------------- pinned stage-0 constraint rows ------------------------
+    # x[0] = xinit is DATA, not a decision variable, so a stage-0 constraint
+    # row with no dependence on [s, u] is a constant: no solver can change
+    # it, and folding it into the AL penalty only ratchets the penalty to
+    # penalty_max and poisons conditioning for every live row (e.g. an
+    # initial state already violating a clearance constraint would pin the
+    # whole lane at "infeasible" forever). Such rows are masked by an
+    # additive offset that makes them trivially satisfied at stage 0; all
+    # other stages are untouched. The reference has the same structure (the
+    # first stage's x is fixed by the xinit equality, reference
+    # mpcPlanner.py:246-250) — ForcesPro simply reports exitflag < 0 there.
+    import numpy as _np_pin
+
+    if pinned_rows is not None:
+        _pinned = _np_pin.asarray(pinned_rows, bool)
+        if _pinned.shape != (n_con,):
+            raise ValueError(f"pinned_rows shape {_pinned.shape} != ({n_con},)")
+    elif split:
+        _pinned = _np_pin.zeros((n_con,), bool)
+        # q-family con rows reach z only through q ⊆ x (slack shift adds a
+        # w column when ns > 0, making them live again)
+        if ns == 0:
+            _pinned[:qc] = True
+        # affine con rows: pinned iff their constant Jacobian has no
+        # [s, u] column (e.g. joint-limit and x-bound rows)
+        S_con_w = _np_pin.asarray(S_aff)[ar + ab :, nx:]
+        _pinned[qc:] = _np_pin.abs(S_con_w).sum(axis=1) == 0.0
+    else:
+        _pinned = _np_pin.zeros((n_con,), bool)
+    C_OFF = jnp.zeros((N, max(n_con, 0)), dtype)
+    if _pinned.any():
+        C_OFF = C_OFF.at[0, _np_pin.where(_pinned)[0]].set(1e6)
 
     if isinstance(stage.dyn_jac, tuple):
         A_const = jnp.asarray(stage.dyn_jac[0], dtype)
@@ -321,7 +367,9 @@ def build_solver(
 
     def total_al_cost(X, W, P, lam, mu):
         return jnp.sum(
-            jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
+            jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None, 0))(
+                X, W, P, lam, mu, C_OFF
+            )
         )
 
     # ---------------- backward Riccati sweep -------------------------------
@@ -422,18 +470,30 @@ def build_solver(
             return x_next, (x, w)
 
         _, (X, W) = lax.scan(step, xinit, (X_ref, W_ref, k_ff, K))
-        costs = jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
+        costs = jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None, 0))(
+            X, W, P, lam, mu, C_OFF
+        )
         return X, W, jnp.sum(costs)
 
     # ---------------- inner iLQR loop --------------------------------------
 
-    def ilqr(xinit, X, W, P, lam, mu):
+    def ilqr(xinit, X, W, P, lam, mu, frozen=None, gn0=None):
         """Inner iLQR on the AL objective. A ``while_loop`` (not a fixed
         scan) so a warm-started batch that converges early stops paying for
         the remaining iteration budget — under ``vmap`` the loop runs until
         every scenario in the batch is done (per-scenario freezing via the
         ``done`` mask), which on receding-horizon steps is typically a
-        handful of iterations."""
+        handful of iterations.
+
+        ``frozen``: lanes already finished in the outer AL loop enter with
+        ``done=True`` so they contribute zero trips to the batched loop.
+        ``gn0``: the frozen lane's previously reported stationarity measure
+        (kept verbatim so the outer loop's convergence bookkeeping is stable).
+        """
+        if frozen is None:
+            frozen = jnp.asarray(False)
+        if gn0 is None:
+            gn0 = jnp.asarray(jnp.inf, dtype)
 
         def cond(carry):
             _, _, _, _, done, _, _, it = carry
@@ -441,7 +501,9 @@ def build_solver(
 
         def body(carry):
             X, W, cost_cur, reg, done, grad_norm, n_used, it = carry
-            g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None))(X, W, P, lam, mu)
+            g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None, 0))(
+                X, W, P, lam, mu, C_OFF
+            )
             lx, lw = g[:, :nx], g[:, nx:]
             lxx, lxw, lww = H[:, :nx, :nx], H[:, :nx, nx:], H[:, nx:, nx:]
             A, B = all_dyn_jacobians(X, W)
@@ -474,11 +536,19 @@ def build_solver(
                 costb = jnp.where(take_c, cost_c, costb)
                 return ls_it + 1, accepted | better, Xb, Wb, costb
 
+            # Lanes that are already done, or whose factorization failed
+            # (k_ff = 0 — every candidate equals the current point), start
+            # "accepted": under vmap the batched loop's trip count is the
+            # max over lanes still searching, so letting them search would
+            # force full-depth merit sweeps on the whole batch every
+            # iteration for zero benefit.
+            skip_ls = done | failed
             _, improved, X_ls, W_ls, cost_ls = lax.while_loop(
                 ls_cond,
                 ls_body,
-                (jnp.asarray(0, jnp.int32), jnp.asarray(False), X, W, cost_cur),
+                (jnp.asarray(0, jnp.int32), skip_ls, X, W, cost_cur),
             )
+            improved = improved & ~skip_ls
             accept = jnp.logical_and(improved, jnp.logical_not(failed))
 
             take = accept & ~done
@@ -498,7 +568,29 @@ def build_solver(
             reg_new = jnp.where(done, reg, reg_step)
             gn_step = jnp.max(jnp.abs(k_ff))
             gn = jnp.where(done, grad_norm, gn_step)
-            done_new = done | (accept & (gn_step < cfg.tol_gradient))
+            # Stationarity exit, two tiers. Deliberately NOT gated on
+            # `accept` — at a converged point the line search cannot improve
+            # the merit, so an accept-gated exit would never fire and every
+            # converged lane would burn the full budget (the round-2 bench
+            # pinned mean_iterations at the exact cap for this reason).
+            # (a) the Newton step is below tol_gradient: clean convergence;
+            # (b) the line search found NO improvement and the Newton step
+            #     is already below tol_stationarity: the merit decrease a
+            #     step this size could deliver (~|k|^2·H) is beneath the
+            #     f32 merit noise floor (~1e-5 relative), so further
+            #     iterations cannot make measurable progress — converged to
+            #     working precision.
+            # Guards: a failed factorization emits k_ff = 0 (not
+            # convergence), and a huge LM reg shrinks k_ff artificially
+            # (reg <= reg_converged_max keeps the measure honest).
+            done_new = done | (
+                ~failed
+                & (reg <= cfg.reg_converged_max)
+                & (
+                    (gn_step < cfg.tol_gradient)
+                    | (~improved & (gn_step < cfg.tol_stationarity))
+                )
+            )
             # per-lane iteration count (the shared `it` is the max over lanes)
             n_used_new = n_used + jnp.where(done, 0, 1)
             return (X_new, W_new, cost_new, reg_new, done_new, gn, n_used_new, it + 1)
@@ -511,8 +603,8 @@ def build_solver(
                 W,
                 total_al_cost(X, W, P, lam, mu),
                 jnp.asarray(cfg.reg_initial, dtype),
-                jnp.asarray(False),
-                jnp.asarray(jnp.inf, dtype),
+                frozen,
+                gn0,
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(0, jnp.int32),
             ),
@@ -522,7 +614,7 @@ def build_solver(
 
     # ---------------- outer AL loop -----------------------------------------
 
-    def solve(xinit, params, z0, lam0=None):
+    def _solve_impl(xinit, params, z0, lam0=None):
         xinit = jnp.asarray(xinit, dtype)
         P = jnp.asarray(params, dtype)
         z0 = jnp.asarray(z0, dtype)
@@ -536,28 +628,39 @@ def build_solver(
         mu0 = jnp.asarray(cfg.penalty_initial, dtype)
 
         def outer_cond(carry):
-            _, _, _, _, gn, _, viol, it = carry
-            unfinished = jnp.logical_or(
-                viol > cfg.tol_constraint, gn > cfg.tol_stationarity
-            )
-            return jnp.logical_and(it < cfg.max_al_iterations, unfinished)
+            finished, it = carry[-2], carry[-1]
+            return jnp.logical_and(it < cfg.max_al_iterations, ~finished)
 
         def outer_body(carry):
-            X, W, lam, mu, grad_norm, n_inner, _, it = carry
-            X, W, gn, used = ilqr(xinit, X, W, P, lam, mu)
-            C = jax.vmap(stage_ineq)(X, W, P)  # (N, n_con)
-            lam_new = jnp.maximum(0.0, lam - mu * C)
+            X, W, lam, mu, grad_norm, n_inner, _, finished, it = carry
+            # finished lanes enter the inner loop frozen (done=True): they
+            # contribute zero trips to the batched while_loop and keep
+            # reporting their frozen stationarity measure
+            X, W, gn, used = ilqr(xinit, X, W, P, lam, mu, finished, grad_norm)
+            # pinned stage-0 rows are offset out of both the multiplier
+            # update and the feasibility measure (see C_OFF above)
+            C = jax.vmap(stage_ineq)(X, W, P) + C_OFF  # (N, n_con)
             viol = (
                 jnp.max(jnp.maximum(0.0, -C))
                 if n_con > 0
                 else jnp.asarray(0.0, dtype=X.dtype)
             )
+            # freeze multipliers/penalty on finished lanes so the solution
+            # (and the warm start handed to the next MPC step) is stable
+            lam_new = jnp.where(finished, lam, jnp.maximum(0.0, lam - mu * C))
             mu_new = jnp.where(
-                viol > cfg.tol_constraint,
-                jnp.minimum(mu * cfg.penalty_scale, cfg.penalty_max),
+                finished,
                 mu,
+                jnp.where(
+                    viol > cfg.tol_constraint,
+                    jnp.minimum(mu * cfg.penalty_scale, cfg.penalty_max),
+                    mu,
+                ),
             )
-            return (X, W, lam_new, mu_new, gn, n_inner + used, viol, it + 1)
+            finished_new = finished | (
+                (viol <= cfg.tol_constraint) & (gn <= cfg.tol_stationarity)
+            )
+            return (X, W, lam_new, mu_new, gn, n_inner + used, viol, finished_new, it + 1)
 
         # early exit once feasible + stationary (a warm-started receding-
         # horizon batch often needs a single multiplier pass); worst case
@@ -573,26 +676,26 @@ def build_solver(
                 jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(False),
                 jnp.asarray(0, jnp.int32),
             ),
         )
-        X, W, lam, _, grad_norm, n_inner, _, _ = carry
+        X, W, lam, _, grad_norm, n_inner, viol, finished, _ = carry
+        # `viol` is the loop's final-body value, computed from the final
+        # (X, W) — the body never mutates them afterwards, so no recompute
 
-        C = jax.vmap(stage_ineq)(X, W, P)
-        viol = (
-            jnp.max(jnp.maximum(0.0, -C))
-            if n_con > 0
-            else jnp.asarray(0.0, dtype)
-        )
         cost = jnp.sum(jax.vmap(true_cost)(X, W, P))
         z = jnp.concatenate([X, W], axis=-1)
 
-        # a finite trajectory with non-finite violation/cost (e.g. NaN
-        # parameters) is still a numerical failure, not a usable plan
+        # a finite trajectory with non-finite violation/cost/stationarity
+        # (e.g. NaN parameters) is still a numerical failure, not a usable plan
         finite = (
-            jnp.all(jnp.isfinite(z)) & jnp.isfinite(viol) & jnp.isfinite(cost)
+            jnp.all(jnp.isfinite(z))
+            & jnp.isfinite(viol)
+            & jnp.isfinite(cost)
+            & jnp.isfinite(grad_norm)
         )
-        converged = finite & (viol <= cfg.tol_constraint) & (grad_norm <= cfg.tol_stationarity)
+        converged = finite & finished
         exitflag = jnp.where(converged, 1, jnp.where(finite, 0, -1)).astype(jnp.int32)
         return SolveResult(
             z=z,
@@ -603,6 +706,17 @@ def build_solver(
             lam=lam,
             iterations=n_inner,
         )
+
+    def solve(xinit, params, z0, lam0=None):
+        # TPU f32 dots default to bf16 input precision (~8 mantissa bits);
+        # the Gauss-Newton assembly GEMMs carry mu-scaled terms (up to
+        # penalty_max), so bf16 noise swamps the 1e-4-level Newton steps the
+        # convergence tests need — lanes then stall at gn ~ 1e-3 and never
+        # reach exitflag 1 (observed on v5e: converged_fraction 0.27 vs 0.97
+        # with full f32). The matrices are tiny (<= 24 wide, padding-bound
+        # on the MXU), so full-f32 dots cost little wall clock here.
+        with jax.default_matmul_precision("float32"):
+            return _solve_impl(xinit, params, z0, lam0)
 
     # expose internals for white-box tests and debugging
     solve._internals = {

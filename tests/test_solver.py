@@ -85,9 +85,17 @@ def test_unconstrained_matches_scipy():
 
 def test_constrained_matches_scipy():
     N, dt, goal, wu, ulim = 8, 0.1, 2.0, 0.001, 3.0
-    # cold-started strict-accuracy solve: give the AL loop a full budget
-    # (closed-loop MPC warm-starts and needs far fewer iterations)
-    cfg = SolverConfiguration(max_al_iterations=15, max_ilqr_iterations=15)
+    # cold-started strict-accuracy solve: give the AL loop a full budget and
+    # strict exit tolerances (the defaults trade polish for warm-started
+    # fleet throughput; accuracy level is configuration, not hard-coded)
+    cfg = SolverConfiguration(
+        max_al_iterations=15,
+        max_ilqr_iterations=15,
+        tol_gradient=1e-5,
+        tol_stationarity=1e-4,
+        tol_constraint=1e-5,
+        penalty_initial=10.0,
+    )
     solve, _ = _double_integrator_solver(N, dt, goal, wu, u_lim=ulim, cfg=cfg)
     z0 = np.zeros((N, 3), dtype=np.float32)
     res = jax.jit(solve)(
