@@ -61,7 +61,20 @@ class FleetMetrics(NamedTuple):
 
 
 class FleetRunner:
-    """Runs B scenarios of one problem class in lockstep on the mesh."""
+    """Runs B scenarios of one problem class in lockstep on the mesh.
+
+    **Straggler compaction** (on by default for large batches): a batched
+    ``while_loop`` runs in lockstep, so one hard lane pins the whole batch
+    at the worst-case iteration budget even when 97% of lanes converged in
+    a third of it. The fleet therefore solves in two phases: phase 1 runs
+    every lane with a short outer budget (``phase1_al_iterations``), then
+    the unconverged lanes of each device shard are gathered into a
+    ``1/compaction_ratio``-size sub-batch and re-solved (warm) with the
+    full budget. Stragglers get MORE total iterations than before while
+    the full-width batch pays far fewer lockstep trips. The gather/scatter
+    is per device shard (grouped reshape), so no cross-chip collectives
+    are introduced. Set ``compaction_ratio=0`` to disable.
+    """
 
     def __init__(
         self,
@@ -69,6 +82,8 @@ class FleetRunner:
         batch_size: int,
         mesh=None,
         solver_cfg: Optional[SolverConfiguration] = None,
+        compaction_ratio: int = 8,
+        phase1_al_iterations: int = 2,
     ):
         self.problem = problem
         self.dims = problem.dims
@@ -78,7 +93,25 @@ class FleetRunner:
             raise ValueError(
                 f"batch {batch_size} not divisible by mesh size {self.mesh.devices.size}"
             )
-        self._solve = problem.build_solver(solver_cfg)
+        base_cfg = solver_cfg if solver_cfg is not None else problem.setup.solver
+        self._n_groups = self.mesh.devices.size
+        b_loc = batch_size // self._n_groups
+        k_loc = b_loc // compaction_ratio if compaction_ratio else 0
+        self._k_loc = k_loc if k_loc >= 8 else 0
+        if self._k_loc:
+            import dataclasses
+
+            cfg1 = dataclasses.replace(
+                base_cfg,
+                max_al_iterations=min(
+                    phase1_al_iterations, base_cfg.max_al_iterations
+                ),
+            )
+            self._solve = problem.build_solver(cfg1)
+            self._solve_rescue = problem.build_solver(base_cfg)
+        else:
+            self._solve = problem.build_solver(base_cfg)
+            self._solve_rescue = None
         self._plant = problem.dynamics  # plant = model (kinematic fidelity)
         pm = problem.param_map
         self._has_goal = "goal" in pm.entries
@@ -88,25 +121,24 @@ class FleetRunner:
         dims = self.dims
         nu, nx, ns = dims.nu, dims.nx, dims.ns
 
-        def single_step(x, z_warm, lam, params):
-            res = self._solve(x, params, z_warm, lam)
+        def post_step(x, res_z, res_lam, exitflag, violation, params):
             # Failure handling: a diverged/heavily-violated plan must not be
             # executed or fed back as the next warm start (the reference only
             # prints on exitflag < 0, mpcPlanner.py:263-264, and its examples
             # refuse to seed constraints from failed plans,
             # boxer_example.py:194-198). Brake (u = 0) and cold-restart.
-            ok = (res.exitflag >= 0) & (res.violation < 0.5)
-            u = jnp.where(ok, res.z[0, -nu:], jnp.zeros((nu,), res.z.dtype))
+            ok = (exitflag >= 0) & (violation < 0.5)
+            u = jnp.where(ok, res_z[0, -nu:], jnp.zeros((nu,), res_z.dtype))
             x_next = self._plant(x, u)
             # shift-horizon warm start (reference mpcPlanner.py:215-226)
-            cold = jnp.zeros_like(res.z).at[:, :nx].set(x_next)
+            cold = jnp.zeros_like(res_z).at[:, :nx].set(x_next)
             z_shift = jnp.where(
-                ok, jnp.concatenate([res.z[1:], res.z[-1:]], axis=0), cold
+                ok, jnp.concatenate([res_z[1:], res_z[-1:]], axis=0), cold
             )
             lam_shift = jnp.where(
                 ok,
-                jnp.concatenate([res.lam[1:], res.lam[-1:]], axis=0),
-                jnp.zeros_like(res.lam),
+                jnp.concatenate([res_lam[1:], res_lam[-1:]], axis=0),
+                jnp.zeros_like(res_lam),
             )
             q = x_next[: dims.n]
             if self._has_goal:
@@ -114,12 +146,72 @@ class FleetRunner:
                 gdist = jnp.linalg.norm(self._fk_ee(q)[: dims.m] - goal[: dims.m])
             else:
                 gdist = jnp.zeros((), x.dtype)
-            return x_next, z_shift, lam_shift, res, gdist, ~ok
+            return x_next, z_shift, lam_shift, gdist, ~ok
+
+        def rescue_stragglers(x, params, res):
+            """Gather each shard's worst unconverged lanes into a compact
+            sub-batch, re-solve warm with the full budget, scatter back.
+            All reshapes are aligned with the batch sharding (leading axis
+            split over the mesh), so every gather/scatter stays on-chip."""
+            G, k = self._n_groups, self._k_loc
+            B = x.shape[0]
+
+            def grp(t):  # (B, ...) -> (G, B_loc, ...)
+                return t.reshape((G, B // G) + t.shape[1:])
+
+            bad = res.exitflag != 1
+            # worst-first: prioritize violated lanes; non-finite lanes first
+            score = bad.astype(jnp.float32) * (
+                1.0 + jnp.minimum(res.violation, 1e3)
+            )
+            score = jnp.where(jnp.isfinite(score), score, 2e3)
+            idx = jax.lax.top_k(grp(score), k)[1]  # (G, k)
+
+            def gather(t):
+                tg = grp(t)
+                ii = idx.reshape(idx.shape + (1,) * (tg.ndim - 2))
+                return jnp.take_along_axis(tg, ii, axis=1)
+
+            flat = lambda t: t.reshape((G * k,) + t.shape[2:])
+            res2 = jax.vmap(self._solve_rescue)(
+                flat(gather(x)),
+                flat(gather(params)),
+                flat(gather(res.z)),
+                flat(gather(res.lam)),
+            )
+            replace = gather(bad)  # (G, k): only overwrite genuinely bad lanes
+
+            def merge(a, b, combine=None):
+                ag, bg = grp(a), b.reshape((G, k) + b.shape[1:])
+                rep = replace.reshape((G, k) + (1,) * (bg.ndim - 2))
+                old = gather(a).reshape(bg.shape)
+                upd = jnp.where(rep, bg if combine is None else combine(old, bg), old)
+                out = jax.vmap(lambda arr, i, u: arr.at[i].set(u))(ag, idx, upd)
+                return out.reshape(a.shape)
+
+            return type(res)(
+                z=merge(res.z, res2.z),
+                exitflag=merge(res.exitflag, res2.exitflag),
+                cost=merge(res.cost, res2.cost),
+                violation=merge(res.violation, res2.violation),
+                grad_norm=merge(res.grad_norm, res2.grad_norm),
+                lam=merge(res.lam, res2.lam),
+                # rescued lanes report phase-1 + phase-2 iterations
+                iterations=merge(
+                    res.iterations, res2.iterations, combine=lambda o, n: o + n
+                ),
+            )
 
         @partial(jax.jit, donate_argnums=(0,))
         def fleet_step(state: FleetState, scenario: FleetScenario):
-            x_next, z_shift, lam_shift, res, gdist, was_reset = jax.vmap(single_step)(
-                state.x, state.z_warm, state.lam, scenario.params
+            res = jax.vmap(self._solve)(
+                state.x, scenario.params, state.z_warm, state.lam
+            )
+            if self._solve_rescue is not None:
+                res = rescue_stragglers(state.x, scenario.params, res)
+            x_next, z_shift, lam_shift, gdist, was_reset = jax.vmap(post_step)(
+                state.x, res.z, res.lam, res.exitflag, res.violation,
+                scenario.params,
             )
             # Reductions mask out failed lanes: one NaN lane (the exact
             # fault-injection scenario test_fleet exercises) must not poison

@@ -420,6 +420,34 @@ def build_solver(
     )
     if use_pallas:
         from robot_mpcs_tpu.ops.riccati_pallas import riccati_backward_batched
+        from robot_mpcs_tpu.ops.riccati_packed import (
+            detect_structure,
+            riccati_backward_packed,
+        )
+
+        # Structured fast path: holonomic constant dynamics have the exact
+        # block form A = [[I, aI],[0, I]], B = [[b1 E],[b2 E]] — verified
+        # numerically here at build time. The packed kernel bakes the
+        # structure in and ignores the (A, B) operands, which is valid
+        # because the batched `backward` below is only ever called with the
+        # broadcast build-time constants (stage N-1 zeroed, equivalent to
+        # the kernel's zero terminal value function).
+        packed_struct = None
+        if isinstance(stage.dyn_jac, tuple):
+            import numpy as _np_st
+
+            packed_struct = detect_structure(
+                _np_st.asarray(stage.dyn_jac[0]),
+                _np_st.concatenate(
+                    [
+                        _np_st.zeros((nx, ns), dtype=_np_st.float64),
+                        _np_st.asarray(stage.dyn_jac[1]),
+                    ],
+                    axis=1,
+                ),
+                nx=nx,
+                ns=ns,
+            )
 
         scan_backward = backward
 
@@ -432,6 +460,22 @@ def build_solver(
             # A/B (indices 5, 6) stay unbatched when the dynamics Jacobians
             # are batch-constant — the kernel broadcasts them on lanes
             dyn_batched = in_batched[5] or in_batched[6]
+            if not dyn_batched and packed_struct is not None:
+                a_s, b1_s, b2_s = packed_struct
+                lx_, lw_, lxx_, lxw_, lww_ = [
+                    arg if b else jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+                    for arg, b in zip(args[:5], in_batched[:5])
+                ]
+                reg_ = (
+                    args[7]
+                    if in_batched[7]
+                    else jnp.broadcast_to(args[7][None], (axis_size,))
+                )
+                out = riccati_backward_packed(
+                    lx_, lw_, lxx_, lxw_, lww_, reg_,
+                    N=N, nx=nx, nw=nw, ns=ns, a=a_s, b1=b1_s, b2=b2_s,
+                )
+                return out, (True, True, True)
             # VMEM budget check: per 128-lane block the kernel double-buffers
             # its stage tensors; fall back to the vmapped scan if the
             # footprint cannot fit (large nx with batched dynamics)
@@ -511,6 +555,17 @@ def build_solver(
             A = A.at[-1].set(0.0)
             B = B.at[-1].set(0.0)
             k_ff, K, failed = backward(lx, lw, lxx, lxw, lww, A, B, reg)
+            gn_step = jnp.max(jnp.abs(k_ff))
+            # tiny Newton step: no search needed (the lane is declared done
+            # below); near-stationary: probe only alpha = 1 — if the full
+            # step can't improve, backtracked fractions of a sub-tolerance
+            # step can't deliver a measurable f32 merit decrease either, and
+            # each extra probe costs the whole batch one merit sweep
+            tiny_step = gn_step < cfg.tol_gradient
+            near_stat = gn_step < cfg.tol_stationarity
+            max_ls = jnp.where(
+                near_stat, 1, jnp.asarray(cfg.line_search_steps, jnp.int32)
+            )
 
             # Backtracking line search with early exit: a warm-started
             # receding-horizon step almost always accepts the full Newton
@@ -521,7 +576,7 @@ def build_solver(
             # updating; the loop runs while any lane is still searching.
             def ls_cond(c):
                 ls_it, accepted, _, _, _ = c
-                return jnp.logical_and(ls_it < cfg.line_search_steps, ~accepted)
+                return jnp.logical_and(ls_it < max_ls, ~accepted)
 
             def ls_body(c):
                 ls_it, accepted, Xb, Wb, costb = c
@@ -536,13 +591,14 @@ def build_solver(
                 costb = jnp.where(take_c, cost_c, costb)
                 return ls_it + 1, accepted | better, Xb, Wb, costb
 
-            # Lanes that are already done, or whose factorization failed
-            # (k_ff = 0 — every candidate equals the current point), start
+            # Lanes that are already done, whose factorization failed
+            # (k_ff = 0 — every candidate equals the current point), or
+            # whose Newton step is already below tol_gradient start
             # "accepted": under vmap the batched loop's trip count is the
             # max over lanes still searching, so letting them search would
             # force full-depth merit sweeps on the whole batch every
             # iteration for zero benefit.
-            skip_ls = done | failed
+            skip_ls = done | failed | tiny_step
             _, improved, X_ls, W_ls, cost_ls = lax.while_loop(
                 ls_cond,
                 ls_body,
@@ -559,14 +615,17 @@ def build_solver(
             # converged: under vmap a done lane keeps executing the body while
             # stragglers finish, and letting gn/reg drift would make the lane
             # exit reporting grad_norm > tol (keeping the outer AL loop alive
-            # and flipping its exitflag to 0 despite convergence)
+            # and flipping its exitflag to 0 despite convergence).
+            # Escalate reg only on a genuine failure (bad factorization or a
+            # searched-and-rejected step) — tiny-step lanes skipped the
+            # search and must not be punished into the reg guard.
+            escalate = failed | (~improved & ~tiny_step)
             reg_step = jnp.where(
                 accept,
                 jnp.maximum(reg * 0.5, cfg.reg_min),
-                jnp.minimum(reg * 10.0, cfg.reg_max),
+                jnp.where(escalate, jnp.minimum(reg * 10.0, cfg.reg_max), reg),
             )
             reg_new = jnp.where(done, reg, reg_step)
-            gn_step = jnp.max(jnp.abs(k_ff))
             gn = jnp.where(done, grad_norm, gn_step)
             # Stationarity exit, two tiers. Deliberately NOT gated on
             # `accept` — at a converged point the line search cannot improve

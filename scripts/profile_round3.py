@@ -41,6 +41,9 @@ for k in ("MAX_AL", "MAX_ILQR", "TOL_G", "TOL_C"):
         cur = getattr(setup.solver, attr)
         setattr(setup.solver, attr, type(cur)(float(os.environ[k])))
         log("override", attr, "=", getattr(setup.solver, attr))
+if "LS_STEPS" in os.environ:
+    setup.solver.line_search_steps = int(os.environ["LS_STEPS"])
+    log("override line_search_steps =", setup.solver.line_search_steps)
 if "RICCATI" in os.environ:
     setup.solver.riccati_backend = os.environ["RICCATI"]
     log("override riccati_backend =", setup.solver.riccati_backend)

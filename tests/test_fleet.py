@@ -104,3 +104,42 @@ def test_fault_injection_brakes_and_resets(point_problem):
     # healthy lanes moved and kept finite warm starts
     assert np.all(np.isfinite(x_after[1:]))
     assert np.any(np.abs(x_after[1:] - x_before[1:]) > 1e-6)
+
+
+@pytest.mark.slow
+def test_straggler_compaction_rescues_unconverged(point_problem):
+    """Phase-1-starved lanes must be rescued by the compacted second phase:
+    with a 1-AL phase-1 budget, the rescue pass lifts the converged fraction
+    at least to the level of a plain full-budget run, and rescued lanes
+    report summed (phase-1 + phase-2) iteration counts."""
+    import dataclasses
+
+    mesh = make_mesh(devices=jax.devices()[:2])
+    B = 64
+    scenario = random_fleet_scenario(point_problem, B, seed=7)
+    cfg = point_problem.setup.solver
+
+    starved = FleetRunner(
+        point_problem, B, mesh=mesh,
+        solver_cfg=dataclasses.replace(cfg, max_al_iterations=1),
+        compaction_ratio=0,
+    )
+    _, m_starved = starved.run(scenario, n_steps=2)
+
+    rescued = FleetRunner(
+        point_problem, B, mesh=mesh,
+        compaction_ratio=4, phase1_al_iterations=1,
+    )
+    assert rescued._k_loc == 8
+    _, m_rescued = rescued.run(scenario, n_steps=2)
+
+    full = FleetRunner(point_problem, B, mesh=mesh, compaction_ratio=0)
+    _, m_full = full.run(scenario, n_steps=2)
+
+    assert float(m_rescued.converged_fraction) >= float(m_starved.converged_fraction)
+    assert float(m_rescued.converged_fraction) >= float(m_full.converged_fraction) - 0.05
+    # rescue appends iterations rather than replacing them
+    assert float(m_rescued.max_iterations) <= cfg.max_al_iterations * (
+        1 + cfg.max_al_iterations
+    ) * cfg.max_ilqr_iterations
+    assert np.isfinite(float(m_rescued.mean_cost))

@@ -91,6 +91,7 @@ def test_constrained_matches_scipy():
     cfg = SolverConfiguration(
         max_al_iterations=15,
         max_ilqr_iterations=15,
+        line_search_steps=8,
         tol_gradient=1e-5,
         tol_stationarity=1e-4,
         tol_constraint=1e-5,
