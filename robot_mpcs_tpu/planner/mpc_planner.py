@@ -254,12 +254,22 @@ class MPCPlanner:
         z = np.asarray(result.z)
         exitflag = int(result.exitflag)
         self._z_prev = z
-        self._lam = np.asarray(result.lam)
+        # shift-align the multiplier warm start with the shift-horizon
+        # trajectory warm start (stage k's multipliers belong to next step's
+        # stage k-1; the fleet runner does the same, parallel/fleet.py)
+        lam = np.asarray(result.lam)
+        self._lam = np.concatenate([lam[1:], lam[-1:]], axis=0)
         self.output = {self._stage_key(k + 1): z[k] for k in range(self._N)}
 
         if self._config.control_mode == "vel":
-            # velocity block of stage 2 (mpcPlanner.py:275-276)
-            action = z[1][-2 * self._nu : -self._nu]
+            # velocity block of stage 2 (mpcPlanner.py:275-276). The
+            # reference's slice z[-2nu:-nu] silently grabs the wrong block
+            # when slack is enabled (the slack variable sits between x and
+            # u); skipping ns entries keeps the same semantics ("the nu
+            # velocity states preceding the controls") for every ns.
+            lo = -(2 * self._nu + self._ns)
+            hi = -(self._nu + self._ns)
+            action = z[1][lo:hi]
         elif self._config.control_mode == "acc":
             action = z[0][-self._nu :]
         else:

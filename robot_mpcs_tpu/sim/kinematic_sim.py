@@ -55,6 +55,42 @@ class KinematicSim:
             ).astype(np.float32)
         return self.state.copy()
 
+    def step_velocity(self, vel_cmd: np.ndarray) -> np.ndarray:
+        """Apply a VELOCITY command (``control_mode: vel`` plants): the
+        velocity-controlled base tracks the commanded velocity exactly within
+        one control period, like the reference's cmd_vel-driven boxer
+        (reference ``ros_bridge/.../mpc_planner_node:131-137`` publishes
+        Twist to a velocity controller).
+
+        Holonomic: ``vel_cmd`` = qdot (n,) — positions integrate linearly.
+        Diffdrive: ``vel_cmd`` = (v_forward, omega) — base pose integrates
+        the unicycle kinematics.
+        """
+        vel_cmd = np.asarray(vel_cmd, dtype=np.float32).reshape(-1)
+        n, nx = self.dims.n, self.dims.nx
+        x = self.state
+        if self.dims.base_type == "diffdrive":
+            v, omega = float(vel_cmd[0]), float(vel_cmd[1])
+            sub = 16
+            h = self.dt / sub
+            q = x[:n].copy()
+            for _ in range(sub):
+                q[0] += h * np.cos(q[2]) * v
+                q[1] += h * np.sin(q[2]) * v
+                q[2] += h * omega
+            x = x.copy()
+            x[:n] = q
+            x[nx - 2 :] = [v, omega]
+            # arm joints (if any) hold their velocity-integrated positions
+            if n > 3 and vel_cmd.size > 2:
+                x[3:n] += self.dt * vel_cmd[2 : 2 + n - 3]
+        else:
+            x = x.copy()
+            x[:n] += self.dt * vel_cmd[:n]
+            x[n:nx] = vel_cmd[:n]
+        self.state = x.astype(np.float32)
+        return self.state.copy()
+
     # observation helpers matching the planner's computeAction(*args) calling
     # convention (reference examples pass (q, qdot[, vel]))
     def observation(self):

@@ -485,6 +485,16 @@ def build_solver(
             words += nw + nw * nx  # outputs
             vmem_bytes = 2 * 4 * N * 128 * words + (3 << 20)
             if vmem_bytes > (15 << 20):
+                import warnings
+
+                warnings.warn(
+                    f"Riccati Pallas kernel disabled for this problem: the "
+                    f"per-block VMEM footprint ({vmem_bytes >> 20} MiB with "
+                    f"batched dynamics at N={N}, nx={nx}, nw={nw}) exceeds "
+                    f"the 15 MiB budget — falling back to the vmapped scan "
+                    f"backward (slower).",
+                    stacklevel=2,
+                )
                 return jax.vmap(scan_backward)(*[
                     a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
                     for a, b in zip(args, in_batched)
@@ -514,10 +524,15 @@ def build_solver(
             return x_next, (x, w)
 
         _, (X, W) = lax.scan(step, xinit, (X_ref, W_ref, k_ff, K))
+        # PER-STAGE merit vector, not the sum: the line search accepts on the
+        # sum of per-stage DIFFERENCES, whose f32 noise floor is ~N x lower
+        # than comparing two accumulated totals (eps*stage_cost*sqrt(N) vs
+        # eps*total) — this is what lets the polish reach ~1e-4-level steps
+        # and the <1e-3 control-error parity bar (tests/test_parity.py)
         costs = jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None, 0))(
             X, W, P, lam, mu, C_OFF
         )
-        return X, W, jnp.sum(costs)
+        return X, W, costs
 
     # ---------------- inner iLQR loop --------------------------------------
 
@@ -582,8 +597,13 @@ def build_solver(
                 ls_it, accepted, Xb, Wb, costb = c
                 alpha = cfg.line_search_decay ** ls_it.astype(dtype)
                 X_c, W_c, cost_c = forward(xinit, X, W, k_ff, K, P, lam, mu, alpha)
+                # accept on the summed per-stage cost DIFFERENCE (see
+                # `forward`): cancellation happens per stage, so the
+                # comparison resolves improvements ~N x below the noise
+                # floor of a total-vs-total comparison
+                delta = jnp.sum(cost_c - cost_cur)
                 better = jnp.logical_and(
-                    jnp.isfinite(cost_c), cost_c < cost_cur - 1e-9
+                    jnp.all(jnp.isfinite(cost_c)), delta < -1e-9
                 )
                 take_c = better & ~accepted
                 Xb = jnp.where(take_c, X_c, Xb)
@@ -660,7 +680,9 @@ def build_solver(
             (
                 X,
                 W,
-                total_al_cost(X, W, P, lam, mu),
+                jax.vmap(al_stage_cost, in_axes=(0, 0, 0, 0, None, 0))(
+                    X, W, P, lam, mu, C_OFF
+                ),
                 jnp.asarray(cfg.reg_initial, dtype),
                 frozen,
                 gn0,

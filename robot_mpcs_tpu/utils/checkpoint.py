@@ -44,11 +44,25 @@ def save_fleet_state(path: str, state, extra: Optional[dict] = None) -> None:
     restore time.
     """
     host = jax.device_get(state)
-    meta = {"version": _FORMAT_VERSION, "extra": extra or {}}
+    x, z_warm, lam = np.asarray(host.x), np.asarray(host.z_warm), np.asarray(host.lam)
+    meta = {
+        "version": _FORMAT_VERSION,
+        # problem-shape provenance, validated at load time: restoring a
+        # checkpoint from a different problem class must fail with a clear
+        # error instead of an opaque jit shape error at the first step
+        "dims": {
+            "batch": int(x.shape[0]),
+            "nx": int(x.shape[1]),
+            "N": int(z_warm.shape[1]),
+            "nz": int(z_warm.shape[2]),
+            "n_con": int(lam.shape[2]),
+        },
+        "extra": extra or {},
+    }
     payload = {
-        "x": np.asarray(host.x),
-        "z_warm": np.asarray(host.z_warm),
-        "lam": np.asarray(host.lam),
+        "x": x,
+        "z_warm": z_warm,
+        "lam": lam,
         "step": np.asarray(host.step),
         "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     }
@@ -58,20 +72,35 @@ def save_fleet_state(path: str, state, extra: Optional[dict] = None) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **payload)
+            # flush through to stable storage BEFORE the rename: os.replace
+            # is atomic against process death, but a machine-level crash can
+            # still tear an unsynced file over the previous good checkpoint
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        # fsync the directory so the rename itself is durable
+        dfd = os.open(directory, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
 
 
-def load_fleet_state(path: str, mesh=None):
+def load_fleet_state(path: str, mesh=None, problem=None, batch_size=None):
     """Load a fleet checkpoint; returns ``(state, extra)``.
 
     With ``mesh`` given, batched leaves are device-put sharded on the batch
     axis (the checkpoint's original topology is irrelevant — only
     ``batch % mesh size == 0`` must hold). Without a mesh the state stays on
     the default device, which is what single-chip tests want.
+
+    With ``problem`` (an :class:`MpcProblem`) and/or ``batch_size`` given,
+    the checkpoint's recorded shape provenance is validated against the
+    target problem and a clear ``ValueError`` is raised on mismatch.
     """
     # imported here, not at module scope: utils is imported by the model
     # layer, which parallel.fleet builds on (avoids a circular import)
@@ -88,6 +117,23 @@ def load_fleet_state(path: str, mesh=None):
         z_warm = jnp.asarray(data["z_warm"])
         lam = jnp.asarray(data["lam"])
         step = jnp.asarray(data["step"])
+    dims_meta = meta.get("dims")
+    if dims_meta is not None and (problem is not None or batch_size is not None):
+        expect = {}
+        if problem is not None:
+            d = problem.dims
+            expect.update(nx=d.nx, N=d.N, nz=d.nz, n_con=problem.n_con)
+        if batch_size is not None:
+            expect["batch"] = int(batch_size)
+        bad = {
+            k: (dims_meta.get(k), v) for k, v in expect.items()
+            if dims_meta.get(k) != v
+        }
+        if bad:
+            raise ValueError(
+                "fleet checkpoint shape mismatch (checkpoint vs target): "
+                + ", ".join(f"{k}: {a} vs {b}" for k, (a, b) in bad.items())
+            )
     if mesh is not None:
         sharded = shard_batch(mesh, {"x": x, "z_warm": z_warm, "lam": lam})
         state = FleetState(step=step, **sharded)

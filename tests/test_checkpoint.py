@@ -132,3 +132,34 @@ def test_fleet_metrics_report_iterations(point_problem):
     _, metrics = runner.step(state, scenario)
     assert float(metrics.mean_iterations) >= 1.0
     assert int(metrics.max_iterations) >= int(np.ceil(float(metrics.mean_iterations)))
+
+
+def test_checkpoint_rejects_wrong_problem(tmp_path):
+    """Restoring a checkpoint into a different problem class must fail with a
+    clear shape-provenance error, not an opaque jit shape error later."""
+    import pytest
+
+    from robot_mpcs_tpu.config import load_setup
+    from robot_mpcs_tpu.models.problem import MpcProblem
+    from robot_mpcs_tpu.parallel.fleet import FleetRunner, random_fleet_scenario
+    from robot_mpcs_tpu.utils.checkpoint import load_fleet_state, save_fleet_state
+
+    from tests.conftest import config_path
+
+    setup = load_setup(config_path("pointRobotMpc.yaml"))
+    problem = MpcProblem(setup)
+    runner = FleetRunner(problem, batch_size=8)
+    scenario = random_fleet_scenario(problem, 8, seed=0)
+    state = runner.init_state(runner.shard_scenario(scenario))
+    path = str(tmp_path / "ckpt.npz")
+    save_fleet_state(path, state)
+
+    # same problem + batch: loads fine
+    load_fleet_state(path, problem=problem, batch_size=8)
+
+    # different problem class (panda): must raise with the mismatching dims
+    other = MpcProblem(load_setup(config_path("pandaMpc.yaml")))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_fleet_state(path, problem=other)
+    with pytest.raises(ValueError, match="batch"):
+        load_fleet_state(path, problem=problem, batch_size=16)
