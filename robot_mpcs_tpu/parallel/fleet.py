@@ -49,6 +49,14 @@ class FleetMetrics(NamedTuple):
     converged_fraction: jnp.ndarray
     mean_cost: jnp.ndarray
     max_violation: jnp.ndarray
+    #: violation reported PER EXITFLAG CLASS: the batch max over converged
+    #: (exitflag == 1) lanes vs over budget-exhausted (exitflag == 0) lanes.
+    #: ``max_violation`` alone conflates the two — its headline number is
+    #: dominated by the unconverged tail while converged lanes sit at
+    #: <= tol_constraint, so it cannot distinguish "solver quality" from
+    #: "tail size".
+    max_violation_converged: jnp.ndarray
+    max_violation_unconverged: jnp.ndarray
     mean_goal_distance: jnp.ndarray
     #: fraction of scenarios whose warm start was reset this step because the
     #: solve came back unusable (diverged / heavily violated)
@@ -58,6 +66,18 @@ class FleetMetrics(NamedTuple):
     #: struct carried, reference mpcPlanner.py:262 — here it is first-class)
     mean_iterations: jnp.ndarray
     max_iterations: jnp.ndarray
+    #: fraction of unconverged lanes that did NOT get a rescue re-solve this
+    #: step because their shard had more bad lanes than rescue slots
+    #: (top_k capacity overflow). Nonzero values mean the straggler
+    #: compaction is silently under-provisioned — raise ``compaction_ratio``
+    #: capacity or the phase-1 budget.
+    rescue_overflow_fraction: jnp.ndarray
+    #: max RAW stage-0 violation over the batch (see
+    #: SolveResult.violation0_raw): detects lanes whose CURRENT state already
+    #: violates a state-only constraint (e.g. an in-collision start) — the
+    #: solver masks those rows (nothing it can do about data), but a safety
+    #: monitor must still see them.
+    max_violation0_raw: jnp.ndarray
 
 
 class FleetRunner:
@@ -98,6 +118,17 @@ class FleetRunner:
         b_loc = batch_size // self._n_groups
         k_loc = b_loc // compaction_ratio if compaction_ratio else 0
         self._k_loc = k_loc if k_loc >= 8 else 0
+        if compaction_ratio and not self._k_loc:
+            import warnings
+
+            warnings.warn(
+                f"FleetRunner: straggler compaction disabled — per-device "
+                f"batch {b_loc} / compaction_ratio {compaction_ratio} yields "
+                f"fewer than 8 rescue slots. Every lane runs the full "
+                f"iteration budget in phase 1 instead (correct, just no "
+                f"two-phase speedup). Pass compaction_ratio=0 to silence.",
+                stacklevel=2,
+            )
         if self._k_loc:
             import dataclasses
 
@@ -166,6 +197,12 @@ class FleetRunner:
             )
             score = jnp.where(jnp.isfinite(score), score, 2e3)
             idx = jax.lax.top_k(grp(score), k)[1]  # (G, k)
+            # capacity telemetry: bad lanes beyond the k rescue slots of
+            # their shard are NOT re-solved this step. Report the dropped
+            # fraction instead of truncating silently (metric below).
+            n_bad = jnp.sum(grp(bad), axis=1)  # (G,)
+            overflow = jnp.sum(jnp.maximum(0, n_bad - k))
+            overflow_fraction = overflow / jnp.maximum(1, jnp.sum(n_bad))
 
             def gather(t):
                 tg = grp(t)
@@ -173,11 +210,22 @@ class FleetRunner:
                 return jnp.take_along_axis(tg, ii, axis=1)
 
             flat = lambda t: t.reshape((G * k,) + t.shape[2:])
+            x_g = flat(gather(x))
+            z_g = flat(gather(res.z))
+            lam_g = flat(gather(res.lam))
+            # Sanitize non-finite warm starts: a diverged (NaN) lane
+            # re-solved FROM its NaN z/lam is guaranteed to fail again (no
+            # step is ever accepted against a NaN merit) and would burn the
+            # whole rescue budget. Restart those lanes cold from the plant
+            # state with zeroed multipliers.
+            finite = jnp.all(jnp.isfinite(z_g), axis=(1, 2)) & jnp.all(
+                jnp.isfinite(lam_g), axis=(1, 2)
+            )
+            z_cold = jnp.zeros_like(z_g).at[:, :, :nx].set(x_g[:, None, :])
+            z_g = jnp.where(finite[:, None, None], z_g, z_cold)
+            lam_g = jnp.where(finite[:, None, None], lam_g, 0.0)
             res2 = jax.vmap(self._solve_rescue)(
-                flat(gather(x)),
-                flat(gather(params)),
-                flat(gather(res.z)),
-                flat(gather(res.lam)),
+                x_g, flat(gather(params)), z_g, lam_g
             )
             replace = gather(bad)  # (G, k): only overwrite genuinely bad lanes
 
@@ -189,17 +237,21 @@ class FleetRunner:
                 out = jax.vmap(lambda arr, i, u: arr.at[i].set(u))(ag, idx, upd)
                 return out.reshape(a.shape)
 
-            return type(res)(
-                z=merge(res.z, res2.z),
-                exitflag=merge(res.exitflag, res2.exitflag),
-                cost=merge(res.cost, res2.cost),
-                violation=merge(res.violation, res2.violation),
-                grad_norm=merge(res.grad_norm, res2.grad_norm),
-                lam=merge(res.lam, res2.lam),
-                # rescued lanes report phase-1 + phase-2 iterations
-                iterations=merge(
-                    res.iterations, res2.iterations, combine=lambda o, n: o + n
+            return (
+                type(res)(
+                    z=merge(res.z, res2.z),
+                    exitflag=merge(res.exitflag, res2.exitflag),
+                    cost=merge(res.cost, res2.cost),
+                    violation=merge(res.violation, res2.violation),
+                    grad_norm=merge(res.grad_norm, res2.grad_norm),
+                    lam=merge(res.lam, res2.lam),
+                    # rescued lanes report phase-1 + phase-2 iterations
+                    iterations=merge(
+                        res.iterations, res2.iterations, combine=lambda o, n: o + n
+                    ),
+                    violation0_raw=merge(res.violation0_raw, res2.violation0_raw),
                 ),
+                overflow_fraction,
             )
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -207,8 +259,11 @@ class FleetRunner:
             res = jax.vmap(self._solve)(
                 state.x, scenario.params, state.z_warm, state.lam
             )
+            overflow_fraction = jnp.zeros((), jnp.float32)
             if self._solve_rescue is not None:
-                res = rescue_stragglers(state.x, scenario.params, res)
+                res, overflow_fraction = rescue_stragglers(
+                    state.x, scenario.params, res
+                )
             x_next, z_shift, lam_shift, gdist, was_reset = jax.vmap(post_step)(
                 state.x, res.z, res.lam, res.exitflag, res.violation,
                 scenario.params,
@@ -222,14 +277,26 @@ class FleetRunner:
             def ok_mean(v):
                 return jnp.sum(jnp.where(ok, v, 0.0)) / n_ok
 
+            conv = res.exitflag == 1
+            stalled = res.exitflag == 0
+
+            def class_max(v, mask):
+                return jnp.max(jnp.where(mask, v, 0.0))
+
             metrics = FleetMetrics(
-                converged_fraction=jnp.mean((res.exitflag == 1).astype(jnp.float32)),
+                converged_fraction=jnp.mean(conv.astype(jnp.float32)),
                 mean_cost=ok_mean(res.cost),
                 max_violation=jnp.max(jnp.where(ok, res.violation, 0.0)),
+                max_violation_converged=class_max(res.violation, conv),
+                max_violation_unconverged=class_max(res.violation, stalled),
                 mean_goal_distance=ok_mean(gdist),
                 reset_fraction=jnp.mean(was_reset.astype(jnp.float32)),
                 mean_iterations=jnp.mean(res.iterations.astype(jnp.float32)),
                 max_iterations=jnp.max(res.iterations),
+                rescue_overflow_fraction=overflow_fraction,
+                max_violation0_raw=jnp.max(
+                    jnp.where(jnp.isfinite(res.violation0_raw), res.violation0_raw, 0.0)
+                ),
             )
             new_state = FleetState(
                 x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1

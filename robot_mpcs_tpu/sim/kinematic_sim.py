@@ -63,14 +63,17 @@ class KinematicSim:
         Twist to a velocity controller).
 
         Holonomic: ``vel_cmd`` = qdot (n,) — positions integrate linearly.
-        Diffdrive: ``vel_cmd`` = (v_forward, omega) — base pose integrates
-        the unicycle kinematics.
+        Diffdrive: ``vel_cmd`` = ``[arm_qdot..., v_forward, omega]`` — the
+        planner's vel-mode action ordering (the nu-wide velocity block
+        preceding the controls in z, with (v, omega) trailing; reference
+        ``diff_drive_mpc_model.py:21-22``). For the armless boxer this is
+        just ``(v, omega)``.
         """
         vel_cmd = np.asarray(vel_cmd, dtype=np.float32).reshape(-1)
         n, nx = self.dims.n, self.dims.nx
         x = self.state
         if self.dims.base_type == "diffdrive":
-            v, omega = float(vel_cmd[0]), float(vel_cmd[1])
+            v, omega = float(vel_cmd[-2]), float(vel_cmd[-1])
             sub = 16
             h = self.dt / sub
             q = x[:n].copy()
@@ -81,9 +84,13 @@ class KinematicSim:
             x = x.copy()
             x[:n] = q
             x[nx - 2 :] = [v, omega]
-            # arm joints (if any) hold their velocity-integrated positions
+            # arm joints (if any): track the commanded joint velocities
+            # exactly over one control period — positions integrate, and the
+            # arm rows of qdot hold the commanded rates (not stale values)
             if n > 3 and vel_cmd.size > 2:
-                x[3:n] += self.dt * vel_cmd[2 : 2 + n - 3]
+                arm_qdot = vel_cmd[: n - 3]
+                x[3:n] += self.dt * arm_qdot
+                x[n + 3 : 2 * n] = arm_qdot
         else:
             x = x.copy()
             x[:n] += self.dt * vel_cmd[:n]

@@ -640,10 +640,23 @@ def build_solver(
             # searched-and-rejected step) — tiny-step lanes skipped the
             # search and must not be punished into the reg guard.
             escalate = failed | (~improved & ~tiny_step)
+            # A tiny Newton step at HIGH reg is ambiguous: k_ff ~ grad/reg, so
+            # the lane cannot be declared converged (reg > reg_converged_max
+            # blocks `done` below) — but it also skipped the line search, so
+            # without intervention reg never changes and the lane livelocks,
+            # spinning the whole vmapped batch to the full budget. Decay reg
+            # toward reg_converged_max: if the step stays tiny at honest reg
+            # the lane converges; if a real step re-emerges the normal
+            # accept/escalate path resumes.
+            decay_probe = tiny_step & ~failed & (reg > cfg.reg_converged_max)
             reg_step = jnp.where(
                 accept,
                 jnp.maximum(reg * 0.5, cfg.reg_min),
-                jnp.where(escalate, jnp.minimum(reg * 10.0, cfg.reg_max), reg),
+                jnp.where(
+                    escalate,
+                    jnp.minimum(reg * 10.0, cfg.reg_max),
+                    jnp.where(decay_probe, jnp.maximum(reg * 0.1, cfg.reg_min), reg),
+                ),
             )
             reg_new = jnp.where(done, reg, reg_step)
             gn = jnp.where(done, grad_norm, gn_step)
@@ -767,6 +780,17 @@ def build_solver(
 
         cost = jnp.sum(jax.vmap(true_cost)(X, W, P))
         z = jnp.concatenate([X, W], axis=-1)
+        # Raw (unmasked) stage-0 violation: pinned stage-0 rows are constants
+        # of the DATA xinit (see C_OFF above) and are excluded from the
+        # solver's feasibility measure — but safety monitoring must still see
+        # an in-collision start (the reference would report exitflag < 0
+        # there, mpcPlanner.py:263). One extra stage evaluation, off the
+        # iteration hot path.
+        if n_con > 0 and bool(_pinned.any()):
+            c0_raw = stage_ineq(X[0], W[0], P[0])
+            violation0_raw = jnp.max(jnp.maximum(0.0, -c0_raw))
+        else:
+            violation0_raw = jnp.asarray(0.0, dtype)
 
         # a finite trajectory with non-finite violation/cost/stationarity
         # (e.g. NaN parameters) is still a numerical failure, not a usable plan
@@ -786,6 +810,7 @@ def build_solver(
             grad_norm=grad_norm,
             lam=lam,
             iterations=n_inner,
+            violation0_raw=violation0_raw,
         )
 
     def solve(xinit, params, z0, lam0=None):

@@ -31,6 +31,13 @@ class SolveResult(NamedTuple):
     lam: jnp.ndarray
     #: inner iLQR iterations actually used (int32)
     iterations: jnp.ndarray
+    #: raw (unmasked) stage-0 constraint violation. Pinned stage-0 rows —
+    #: constraints that depend only on the fixed initial state — are masked
+    #: out of ``violation``/``exitflag`` (no solver can repair them), but a
+    #: caller monitoring safety can still detect an in-collision START here
+    #: (the reference reports exitflag < 0 in that case and its runner
+    #: brakes, mpcPlanner.py:263-264).
+    violation0_raw: jnp.ndarray
 
 
 class SolverState(NamedTuple):
