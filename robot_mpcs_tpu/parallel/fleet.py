@@ -40,6 +40,14 @@ class FleetState(NamedTuple):
     z_warm: jnp.ndarray  # (B, N, nz) warm-start trajectory
     lam: jnp.ndarray  # (B, N, n_con) AL multipliers
     step: jnp.ndarray  # () int32
+    #: (B,) int32 — consecutive control steps each lane has ended unconverged
+    #: (exitflag != 1). Drives the stall-recovery cold restart: a lane whose
+    #: warm start has gone bad (poisoned multipliers / trajectory in a flat
+    #: basin) keeps re-stalling every step; restarting it cold from the
+    #: current plant state recovers most such lanes (measured in
+    #: scripts/dissect_tail_r4.py: 7 of 9 persistent stalls converge from a
+    #: cold start with the same budget).
+    stall: jnp.ndarray
 
 
 class FleetMetrics(NamedTuple):
@@ -104,7 +112,24 @@ class FleetRunner:
         solver_cfg: Optional[SolverConfiguration] = None,
         compaction_ratio: int = 8,
         phase1_al_iterations: int = 2,
+        rescue_tiers=None,
+        stall_reset_after: int = 3,
     ):
+        """``rescue_tiers``: optional cascade of straggler-rescue passes,
+        each ``(capacity_ratio, max_al_iterations, max_ilqr_iterations)`` —
+        tier t re-solves (warm) each shard's worst still-unconverged lanes
+        in a ``1/capacity_ratio``-width sub-batch with its own iteration
+        budget. Deeper tiers are narrower and richer, so pathological lanes
+        pin only a narrow batch's while_loop instead of the full fleet.
+        Default: one tier at ``(compaction_ratio, base max_al, base
+        max_ilqr)`` (the classic two-phase schedule).
+
+        ``stall_reset_after``: cold-restart the warm start of any lane that
+        ends >= this many CONSECUTIVE control steps unconverged (0 disables).
+        Persistent stalls are warm-start pathologies: measured on the panda
+        fleet, 7 of 9 lanes that never converge warm do converge cold
+        (scripts/dissect_tail_r4.py).
+        """
         self.problem = problem
         self.dims = problem.dims
         self.batch = batch_size
@@ -116,22 +141,52 @@ class FleetRunner:
         base_cfg = solver_cfg if solver_cfg is not None else problem.setup.solver
         self._n_groups = self.mesh.devices.size
         b_loc = batch_size // self._n_groups
-        k_loc = b_loc // compaction_ratio if compaction_ratio else 0
-        self._k_loc = k_loc if k_loc >= 8 else 0
-        if compaction_ratio and not self._k_loc:
-            import warnings
+        self._stall_reset_after = int(stall_reset_after)
 
-            warnings.warn(
-                f"FleetRunner: straggler compaction disabled — per-device "
-                f"batch {b_loc} / compaction_ratio {compaction_ratio} yields "
-                f"fewer than 8 rescue slots. Every lane runs the full "
-                f"iteration budget in phase 1 instead (correct, just no "
-                f"two-phase speedup). Pass compaction_ratio=0 to silence.",
-                stacklevel=2,
+        import dataclasses
+
+        if rescue_tiers is None:
+            rescue_tiers = (
+                [(compaction_ratio, base_cfg.max_al_iterations,
+                  base_cfg.max_ilqr_iterations)]
+                if compaction_ratio
+                else []
             )
-        if self._k_loc:
-            import dataclasses
+        # clip each tier to the slots its shard actually has; drop tiers
+        # with fewer than 8 slots (sub-sublane gathers aren't worth a
+        # separate compiled solver) — NOT silently: warn, because lanes that
+        # would have been rescued now simply run phase 1's budget only.
+        tiers = []
+        for tier in rescue_tiers:
+            # (ratio, al, ilqr[, line_search_steps]) — a deeper line search
+            # in the narrow rescue batch costs little (merit sweeps at B/8)
+            # and converges feasible-but-barely-nonstationary lanes that the
+            # single-probe LM search polishes only slowly
+            ratio, al_it, ilqr_it = tier[:3]
+            ls = tier[3] if len(tier) > 3 else base_cfg.line_search_steps
+            k_loc = b_loc // int(ratio)
+            if k_loc < 8:
+                import warnings
 
+                warnings.warn(
+                    f"FleetRunner: rescue tier 1/{ratio} disabled — "
+                    f"per-device batch {b_loc} yields {k_loc} < 8 rescue "
+                    f"slots. Affected lanes run the remaining tiers (or "
+                    f"phase 1 only). Pass compaction_ratio=0 / "
+                    f"rescue_tiers=[] to silence.",
+                    stacklevel=2,
+                )
+                continue
+            cfg_t = dataclasses.replace(
+                base_cfg,
+                max_al_iterations=int(al_it),
+                max_ilqr_iterations=int(ilqr_it),
+                line_search_steps=int(ls),
+            )
+            tiers.append((k_loc, problem.build_solver(cfg_t)))
+        self._tiers = tiers
+        self._k_loc = tiers[0][0] if tiers else 0  # back-compat (tests)
+        if tiers:
             cfg1 = dataclasses.replace(
                 base_cfg,
                 max_al_iterations=min(
@@ -139,10 +194,8 @@ class FleetRunner:
                 ),
             )
             self._solve = problem.build_solver(cfg1)
-            self._solve_rescue = problem.build_solver(base_cfg)
         else:
             self._solve = problem.build_solver(base_cfg)
-            self._solve_rescue = None
         self._plant = problem.dynamics  # plant = model (kinematic fidelity)
         pm = problem.param_map
         self._has_goal = "goal" in pm.entries
@@ -152,7 +205,7 @@ class FleetRunner:
         dims = self.dims
         nu, nx, ns = dims.nu, dims.nx, dims.ns
 
-        def post_step(x, res_z, res_lam, exitflag, violation, params):
+        def post_step(x, res_z, res_lam, exitflag, violation, stall, params):
             # Failure handling: a diverged/heavily-violated plan must not be
             # executed or fed back as the next warm start (the reference only
             # prints on exitflag < 0, mpcPlanner.py:263-264, and its examples
@@ -161,13 +214,26 @@ class FleetRunner:
             ok = (exitflag >= 0) & (violation < 0.5)
             u = jnp.where(ok, res_z[0, -nu:], jnp.zeros((nu,), res_z.dtype))
             x_next = self._plant(x, u)
+            # Stall recovery: a lane that keeps ending unconverged step after
+            # step is trapped by its own warm start (shift-propagated
+            # multipliers / trajectory in a bad basin) — restart it cold.
+            # The action above still executes (the plan is usable, just not
+            # optimal); only the NEXT solve starts fresh.
+            stall_next = jnp.where(exitflag == 1, 0, stall + 1)
+            stall_reset = (
+                stall_next >= self._stall_reset_after
+                if self._stall_reset_after > 0
+                else jnp.asarray(False)
+            )
+            stall_next = jnp.where(stall_reset, 0, stall_next)
+            keep_warm = ok & ~stall_reset
             # shift-horizon warm start (reference mpcPlanner.py:215-226)
             cold = jnp.zeros_like(res_z).at[:, :nx].set(x_next)
             z_shift = jnp.where(
-                ok, jnp.concatenate([res_z[1:], res_z[-1:]], axis=0), cold
+                keep_warm, jnp.concatenate([res_z[1:], res_z[-1:]], axis=0), cold
             )
             lam_shift = jnp.where(
-                ok,
+                keep_warm,
                 jnp.concatenate([res_lam[1:], res_lam[-1:]], axis=0),
                 jnp.zeros_like(res_lam),
             )
@@ -177,14 +243,15 @@ class FleetRunner:
                 gdist = jnp.linalg.norm(self._fk_ee(q)[: dims.m] - goal[: dims.m])
             else:
                 gdist = jnp.zeros((), x.dtype)
-            return x_next, z_shift, lam_shift, gdist, ~ok
+            return x_next, z_shift, lam_shift, gdist, ~ok, stall_next
 
-        def rescue_stragglers(x, params, res):
+        def rescue_stragglers(x, params, res, solve_fn, k):
             """Gather each shard's worst unconverged lanes into a compact
-            sub-batch, re-solve warm with the full budget, scatter back.
-            All reshapes are aligned with the batch sharding (leading axis
-            split over the mesh), so every gather/scatter stays on-chip."""
-            G, k = self._n_groups, self._k_loc
+            k-wide sub-batch, re-solve warm with ``solve_fn``'s budget,
+            scatter back. All reshapes are aligned with the batch sharding
+            (leading axis split over the mesh), so every gather/scatter
+            stays on-chip."""
+            G = self._n_groups
             B = x.shape[0]
 
             def grp(t):  # (B, ...) -> (G, B_loc, ...)
@@ -224,7 +291,7 @@ class FleetRunner:
             z_cold = jnp.zeros_like(z_g).at[:, :, :nx].set(x_g[:, None, :])
             z_g = jnp.where(finite[:, None, None], z_g, z_cold)
             lam_g = jnp.where(finite[:, None, None], lam_g, 0.0)
-            res2 = jax.vmap(self._solve_rescue)(
+            res2 = jax.vmap(solve_fn)(
                 x_g, flat(gather(params)), z_g, lam_g
             )
             replace = gather(bad)  # (G, k): only overwrite genuinely bad lanes
@@ -259,14 +326,19 @@ class FleetRunner:
             res = jax.vmap(self._solve)(
                 state.x, scenario.params, state.z_warm, state.lam
             )
+            # overflow is reported for the LAST tier: bad lanes the final
+            # (widest-budget) pass had no slot for — the lanes that truly
+            # went un-rescued this step
             overflow_fraction = jnp.zeros((), jnp.float32)
-            if self._solve_rescue is not None:
+            for k_t, solve_t in self._tiers:
                 res, overflow_fraction = rescue_stragglers(
-                    state.x, scenario.params, res
+                    state.x, scenario.params, res, solve_t, k_t
                 )
-            x_next, z_shift, lam_shift, gdist, was_reset = jax.vmap(post_step)(
+            x_next, z_shift, lam_shift, gdist, was_reset, stall_next = jax.vmap(
+                post_step
+            )(
                 state.x, res.z, res.lam, res.exitflag, res.violation,
-                scenario.params,
+                state.stall, scenario.params,
             )
             # Reductions mask out failed lanes: one NaN lane (the exact
             # fault-injection scenario test_fleet exercises) must not poison
@@ -299,7 +371,8 @@ class FleetRunner:
                 ),
             )
             new_state = FleetState(
-                x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1
+                x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1,
+                stall=stall_next,
             )
             return new_state, metrics
 
@@ -310,19 +383,32 @@ class FleetRunner:
     def init_state(self, scenario: FleetScenario) -> FleetState:
         dims = self.dims
         B = scenario.xinit.shape[0]
-        z0 = jnp.zeros((B, dims.N, dims.nz), jnp.float32)
-        z0 = z0.at[:, :, : dims.nx].set(scenario.xinit[:, None, :])
-        batched = shard_batch(
-            self.mesh,
-            {
-                # explicit copy: fleet_step donates the state, and an
-                # aliased buffer would delete the caller's scenario.xinit
-                "x": jnp.array(scenario.xinit, jnp.float32, copy=True),
-                "z_warm": z0,
-                "lam": jnp.zeros((B, dims.N, self.problem.n_con), jnp.float32),
-            },
+        sh = batch_sharding(self.mesh)
+        xinit = (
+            scenario.xinit
+            if isinstance(scenario.xinit, jax.Array)
+            else jnp.asarray(scenario.xinit, jnp.float32)
         )
-        return FleetState(step=jnp.zeros((), jnp.int32), **batched)
+        xinit = shard_batch(self.mesh, xinit)
+
+        # Built inside jit with explicit output shardings so it works
+        # unchanged on a multi-host global mesh (eager ops on
+        # non-fully-addressable arrays are not allowed). jit outputs are
+        # fresh buffers, so fleet_step's donation cannot alias the caller's
+        # scenario.xinit.
+        @partial(jax.jit, out_shardings=(sh, sh, sh, sh))
+        def _init(x):
+            z0 = jnp.zeros((B, dims.N, dims.nz), jnp.float32)
+            z0 = z0.at[:, :, : dims.nx].set(x[:, None, :])
+            lam = jnp.zeros((B, dims.N, self.problem.n_con), jnp.float32)
+            stall = jnp.zeros((B,), jnp.int32)
+            return x + 0.0, z0, lam, stall
+
+        x, z_warm, lam, stall = _init(xinit)
+        return FleetState(
+            x=x, z_warm=z_warm, lam=lam, step=jnp.zeros((), jnp.int32),
+            stall=stall,
+        )
 
     def shard_scenario(self, scenario: FleetScenario) -> FleetScenario:
         return shard_batch(self.mesh, scenario)

@@ -8,9 +8,11 @@ embarrassingly parallel across scenarios, so the canonical layout is a 1-D
 XLA inserts ICI collectives only for the scalar metric reductions
 (converged counts, mean cost) emitted by the fleet step.
 
-Multi-host: under ``jax.distributed`` the same code uses the global device
-set — ``make_mesh`` takes all addressable+remote devices and the batch axis
-spans hosts over DCN transparently.
+Multi-host: after ``parallel.distributed.initialize()`` the same code uses
+the global device set — ``make_mesh`` takes all addressable+remote devices
+and the batch axis spans hosts over DCN. Exercised end-to-end by the
+2-process CPU-mesh smoke test in ``tests/test_distributed.py`` (gloo
+collectives, one fleet step, rank-identical metrics).
 """
 
 from __future__ import annotations
@@ -40,9 +42,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree, axis_name: str = "batch"):
-    """Device-put a pytree of [B, ...] arrays sharded on the batch axis."""
+    """Device-put a pytree of [B, ...] arrays sharded on the batch axis.
+
+    Works on a multi-host mesh too: each [B, ...] leaf is expected to be
+    host-replicated (every process built the same array, e.g. from a shared
+    seed); non-addressable shards are skipped per process (see
+    ``distributed.make_global_array``).
+    """
+    from robot_mpcs_tpu.parallel.distributed import make_global_array
+
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda x: make_global_array(x, sharding), tree
+    )
 
 
 def pad_batch_to_mesh(batch_size: int, mesh: Mesh, axis_name: str = "batch") -> int:

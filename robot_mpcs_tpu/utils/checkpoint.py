@@ -33,7 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_FORMAT_VERSION = 1
+#: v2 adds the per-lane ``stall`` counter (fleet stall-recovery state);
+#: v1 checkpoints load with ``stall`` reset to zeros (safe: the counter is
+#: a heuristic that re-accumulates within a few steps).
+_FORMAT_VERSION = 2
 
 
 def save_fleet_state(path: str, state, extra: Optional[dict] = None) -> None:
@@ -64,6 +67,7 @@ def save_fleet_state(path: str, state, extra: Optional[dict] = None) -> None:
         "z_warm": z_warm,
         "lam": lam,
         "step": np.asarray(host.step),
+        "stall": np.asarray(host.stall),
         "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     }
     directory = os.path.dirname(os.path.abspath(path)) or "."
@@ -109,7 +113,7 @@ def load_fleet_state(path: str, mesh=None, problem=None, batch_size=None):
 
     with np.load(path) as data:
         meta = json.loads(bytes(data["meta"]).decode())
-        if meta.get("version") != _FORMAT_VERSION:
+        if meta.get("version") not in (1, _FORMAT_VERSION):
             raise ValueError(
                 f"unsupported fleet checkpoint version {meta.get('version')!r}"
             )
@@ -117,6 +121,11 @@ def load_fleet_state(path: str, mesh=None, problem=None, batch_size=None):
         z_warm = jnp.asarray(data["z_warm"])
         lam = jnp.asarray(data["lam"])
         step = jnp.asarray(data["step"])
+        stall = (
+            jnp.asarray(data["stall"])
+            if "stall" in data
+            else jnp.zeros((x.shape[0],), jnp.int32)
+        )
     dims_meta = meta.get("dims")
     if dims_meta is not None and (problem is not None or batch_size is not None):
         expect = {}
@@ -135,8 +144,10 @@ def load_fleet_state(path: str, mesh=None, problem=None, batch_size=None):
                 + ", ".join(f"{k}: {a} vs {b}" for k, (a, b) in bad.items())
             )
     if mesh is not None:
-        sharded = shard_batch(mesh, {"x": x, "z_warm": z_warm, "lam": lam})
+        sharded = shard_batch(
+            mesh, {"x": x, "z_warm": z_warm, "lam": lam, "stall": stall}
+        )
         state = FleetState(step=step, **sharded)
     else:
-        state = FleetState(x=x, z_warm=z_warm, lam=lam, step=step)
+        state = FleetState(x=x, z_warm=z_warm, lam=lam, step=step, stall=stall)
     return state, meta["extra"]

@@ -106,6 +106,72 @@ def test_fault_injection_brakes_and_resets(point_problem):
     assert np.any(np.abs(x_after[1:] - x_before[1:]) > 1e-6)
 
 
+def test_stall_recovery_cold_restarts_persistent_nonconverged(point_problem):
+    """A lane that ends several consecutive steps unconverged must have its
+    warm start cold-restarted (stall recovery): contradictory joint limits
+    (lb > ub) make one lane permanently infeasible (exitflag 0, finite),
+    while healthy lanes keep their shifted warm starts."""
+    mesh = make_mesh(devices=jax.devices()[:1])
+    B = 8
+    runner = FleetRunner(
+        point_problem, batch_size=B, mesh=mesh,
+        compaction_ratio=0, stall_reset_after=3,
+    )
+    scenario = random_fleet_scenario(
+        point_problem, B, seed=2,
+        goal_box=((-2, -2, 0.05), (2, 2, 0.05)),
+        obstacle_box=((5, 5, 0.05), (6, 6, 0.05)),
+    )
+    params = np.asarray(scenario.params).copy()
+    pm = point_problem.param_map
+    dims0 = point_problem.dims.n
+    lo, k = pm.entries["lower_limits"]
+    hi, k2 = pm.entries["upper_limits"]
+    # lane 0: MILDLY contradictory box (lb > ub by 0.05): no feasible point
+    # exists, but the least-violation iterate sits ~0.025 deep — far below
+    # the 0.5 usability guard, so the plan executes and the warm start is
+    # kept; only the stall counter can see the lane is never going to reach
+    # exitflag 1
+    params[0, :, lo : lo + k] = 0.30
+    params[0, :, hi : hi + k2] = 0.25
+    # start lane 0 inside the contradiction band (and goal nearby) so its
+    # steady violation is ~0.025, comfortably under the usability guard
+    g0, gk = pm.entries["goal"]
+    params[0, :, g0 : g0 + gk] = 0.275
+    xinit = np.asarray(scenario.xinit).copy()
+    xinit[0, : dims0] = 0.275
+    xinit[0, dims0:] = 0.0
+    scenario = scenario._replace(
+        xinit=jax.numpy.asarray(xinit), params=jax.numpy.asarray(params)
+    )
+    scenario = runner.shard_scenario(scenario)
+    state = runner.init_state(scenario)
+
+    dims = point_problem.dims
+    stalls = []
+    for _ in range(3):
+        state, metrics = runner.step(state, scenario)
+        stalls.append(int(np.asarray(state.stall)[0]))
+        assert int(np.asarray(state.stall)[1:].max()) == 0  # healthy lanes
+    assert float(metrics.reset_fraction) == 0.0  # lane is usable, not reset
+    # counter climbs 1, 2, then hits the threshold at step 3: reset to 0...
+    assert stalls == [1, 2, 0], stalls
+    # ...and the warm start rebuilt cold at that step: [s, u] zeroed, every
+    # stage's state pinned to the new plant state
+    z0 = np.asarray(state.z_warm)[0]
+    x0 = np.asarray(state.x)[0]
+    np.testing.assert_allclose(z0[:, dims.nx:], 0.0, atol=1e-6)
+    np.testing.assert_allclose(z0[:, : dims.nx], np.tile(x0, (dims.N, 1)), atol=1e-6)
+    assert np.all(np.asarray(state.lam)[0] == 0.0)
+    # healthy lanes kept their (nonzero) shifted warm starts
+    assert np.any(np.abs(np.asarray(state.z_warm)[1:, :, dims.nx:]) > 1e-6)
+    # the cycle repeats: one more unconverged step re-climbs the counter
+    state, metrics = runner.step(state, scenario)
+    assert int(np.asarray(state.stall)[0]) == 1
+    # converged_fraction reflects exactly the one bad lane
+    assert float(metrics.converged_fraction) == pytest.approx(1 - 1 / B)
+
+
 @pytest.mark.slow
 def test_straggler_compaction_rescues_unconverged(point_problem):
     """Phase-1-starved lanes must be rescued by the compacted second phase:

@@ -34,7 +34,7 @@ def _make_problem(name, weights=None):
     return MpcProblem(setup), setup
 
 
-def _fill_params(problem, goal, obst, r_body, u_lim, joint_lim):
+def _fill_params(problem, goal, obst, r_body, u_lim, joint_lim, planes=None):
     dims, pm = problem.dims, problem.param_map
     params = np.zeros((dims.N, problem.npar), np.float32)
     w = problem.mpc.weights
@@ -46,6 +46,9 @@ def _fill_params(problem, goal, obst, r_body, u_lim, joint_lim):
     pm.set_np(params, "r_body", r_body)
     if "obst" in pm:
         pm.set_np(params, "obst", obst)
+    if planes is not None:
+        for i, plane in enumerate(planes):
+            pm.set_np(params, f"lin_constrs_{i}", np.asarray(plane, np.float32))
     pm.set_np(params, "lower_limits", [-joint_lim] * dims.n)
     pm.set_np(params, "upper_limits", [joint_lim] * dims.n)
     pm.set_np(params, "lower_limits_u", [-u_lim] * dims.nu)
@@ -236,6 +239,59 @@ def test_point_robot_parity_cold_oracle():
     u_tpu = np.asarray(res.z)[:, -dims.nu :]
     u_star, _ = _oracle_solve(problem, x, params, 5.0, np.zeros_like(u_tpu))
     assert float(np.max(np.abs(u_tpu[0] - u_star[0]))) < 1e-3
+
+
+@pytest.mark.slow
+def test_boxer_diffdrive_parity_vs_slsqp():
+    """boxer (diff-drive unicycle, H=10, shipped config): the NONLINEAR
+    dynamics path (per-stage Jacobians via jacfwd instead of the holonomic
+    constant-(A,B) shortcut) must also sit on the SLSQP/f64 optimum to
+    < 1e-3 control error, with ACTIVE input limits during the acceleration
+    phase. Also checks the vel-mode action (velocity block of stage 2,
+    reference mpcPlanner.py:275-276 semantics) agrees with the oracle's
+    rolled-out stage-1 velocities. Reference problem definition:
+    robotmpcs/models/diff_drive_mpc_model.py:24-41, boxerMpc.yaml."""
+    from robot_mpcs_tpu.config import SolverConfiguration
+
+    problem, setup = _make_problem("boxerMpc.yaml")
+    dims = problem.dims
+    u_lim = 1.0  # tight: saturates while spinning up toward the goal
+    params = _fill_params(
+        problem,
+        goal=[1.5, 0.8, 0.0],
+        obst=None,
+        r_body=0.3,
+        u_lim=u_lim,
+        joint_lim=10.0,
+        # permissive halfplane, the boxer default before perception seeds
+        # real ones (reference boxer_example.py:95)
+        planes=[[1.0, 0.0, 0.0, -100.0]],
+    )
+    errs, subopts = _run_parity(
+        problem, params, np.zeros(dims.nx), u_lim=u_lim, steps=4, tol=1e-3,
+        solver_cfg=SolverConfiguration(**ACCURACY_CFG_KW),
+    )
+    assert max(errs) < 1e-3
+    assert max(subopts) < 1e-6
+
+    # vel-mode action parity: solve once, compare the stage-2 velocity block
+    # against the oracle solution rolled through the same dynamics
+    solve = jax.jit(problem.build_solver(SolverConfiguration(**ACCURACY_CFG_KW)))
+    x = np.zeros(dims.nx, np.float32)
+    z0 = np.zeros((dims.N, dims.nz), np.float32)
+    res = solve(jnp.asarray(x), jnp.asarray(params), jnp.asarray(z0),
+                jnp.zeros((dims.N, problem.n_con)))
+    assert int(res.exitflag) == 1
+    z = np.asarray(res.z)
+    u_tpu = z[:, -dims.nu:]
+    u_star, _ = _oracle_solve(problem, x, params, u_lim, u_tpu)
+    # roll the oracle controls through the dynamics; stage-1 state's
+    # (v, omega) is the reference's vel-mode action
+    F = problem.dynamics
+    x1 = np.asarray(F(jnp.asarray(x), jnp.asarray(u_star[0].astype(np.float32))))
+    vel_oracle = x1[dims.nx - 2:]
+    vel_tpu = z[1][-(2 * dims.nu + dims.ns): -(dims.nu + dims.ns)][-2:]
+    np.testing.assert_allclose(vel_tpu, vel_oracle, atol=1e-3)
 
 
 @pytest.mark.slow
