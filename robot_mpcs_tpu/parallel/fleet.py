@@ -436,9 +436,19 @@ def random_fleet_scenario(
     r_body: float = 0.2,
     u_limit: float = 10.0,
     joint_limit: float = 10.0,
+    reachable_goals: bool = False,
 ) -> FleetScenario:
     """Randomized (x0, goal, obstacles, limits) batch — the "batched fleet"
-    benchmark configuration (BASELINE.json: 4096 randomized scenarios)."""
+    benchmark configuration (BASELINE.json: 4096 randomized scenarios).
+
+    ``reachable_goals``: sample each goal as the end-effector FK image of a
+    random joint configuration (reachable by construction), rejection-matched
+    into ``goal_box``. Required for fixed-base arms (panda): a plain box
+    sample puts a large fraction of goals outside the ~0.85 m workspace, so
+    ``mean_goal_distance`` saturates at the unreachable residual no matter
+    how good the controller is. Free-base robots (pointRobot, boxer) have
+    unbounded workspaces and don't need it.
+    """
     rng = np.random.default_rng(seed)
     dims = problem.dims
     pm = problem.param_map
@@ -462,6 +472,22 @@ def random_fleet_scenario(
         set_all("wconstr", np.tile(w, (batch_size, 1)))
     lo, hi = np.asarray(goal_box[0]), np.asarray(goal_box[1])
     goals = rng.uniform(lo, hi, size=(batch_size, 3)).astype(np.float32)
+    if reachable_goals and "goal" in pm.entries:
+        # goal := fk_ee(q_rand) — reachable by construction; rejection-match
+        # into goal_box, keeping the (reachable) FK image for the stragglers
+        fk_ee_b = jax.jit(
+            jax.vmap(lambda q: problem.kin.fk_pos(q, problem.robot.end_link))
+        )
+        q_rand = rng.uniform(-1.8, 1.8, size=(batch_size, dims.n)).astype(np.float32)
+        ee = np.asarray(fk_ee_b(jnp.asarray(q_rand)))
+        for _ in range(32):
+            in_box = np.all((ee >= lo) & (ee <= hi), axis=1)
+            if in_box.all():
+                break
+            n_bad = int((~in_box).sum())
+            q_rand[~in_box] = rng.uniform(-1.8, 1.8, size=(n_bad, dims.n))
+            ee = np.asarray(fk_ee_b(jnp.asarray(q_rand)))
+        goals = ee.astype(np.float32)
     set_all("goal", goals[:, : dims.m])
     if "r_body" in pm.entries:
         set_all("r_body", np.full((batch_size, 1), r_body))

@@ -48,6 +48,7 @@ def main():
         problem, batch, seed=0,
         goal_box=((-0.5, -0.5, 0.2), (0.5, 0.5, 1.0)),
         obstacle_box=((-0.8, -0.8, 0.2), (0.8, 0.8, 1.0)),
+        reachable_goals=True,
     )
     runner = FleetRunner(problem, batch_size=batch, mesh=mesh)
     scen = runner.shard_scenario(scenario)

@@ -56,6 +56,7 @@ def main():
         problem, BATCH, seed=0,
         goal_box=((-0.5, -0.5, 0.2), (0.5, 0.5, 1.0)),
         obstacle_box=((-0.8, -0.8, 0.2), (0.8, 0.8, 1.0)),
+        reachable_goals=True,
     )
     only = os.environ.get("SWEEP_ONLY")
     for name, kw in CONFIGS.items():

@@ -25,10 +25,13 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "examples", "config")
 @pytest.mark.slow
 def test_panda_fleet_reaches_goals_long_horizon():
     setup = load_setup(os.path.join(CONFIG_DIR, "pandaMpc.yaml"))
-    # stock wconstr=0.5 with the reference's N-scaled repulsion parks the
-    # arm off-goal (see objectives.ConstraintAvoidance); same sane weight
-    # bench.py uses
-    setup.mpc.weights["wconstr"] = [0.05, 0.0, 0.0, 0.0]
+    # Parking weight for the soft repulsion: the N-scaled inverse-clearance
+    # term (objectives.ConstraintAvoidance, reference semantics) balances
+    # the goal gradient 2*w*d at d ~ wconstr*N/(2*w*c^2) — stock 0.5 parks
+    # the arm ~0.15 m off-goal even with the obstacle far away. 0.005 makes
+    # the equilibrium offset ~mm while OBSTACLE SAFETY stays guaranteed by
+    # the hard RadialConstraints (asserted below via actual clearance).
+    setup.mpc.weights["wconstr"] = [0.005, 0.0, 0.0, 0.0]
     problem = MpcProblem(setup)
     mesh = make_mesh()
     B = 64
@@ -36,13 +39,22 @@ def test_panda_fleet_reaches_goals_long_horizon():
     runner = FleetRunner(problem, batch_size=B, mesh=mesh)
     scenario = random_fleet_scenario(
         problem, B, seed=17, r_body=r_body,
-        # reachable workspace goals; one real obstacle per scenario placed
-        # in the workspace margin (the sampler rejects placements that
-        # collide with the start pose or swallow the goal)
+        # goals sampled as FK images of random configurations: reachable by
+        # construction (a plain box sample puts goals outside the ~0.85 m
+        # panda workspace and mean_goal_distance saturates at the
+        # unreachable residual). One real obstacle per scenario; the
+        # sampler rejects placements that collide with the start pose or
+        # swallow the goal.
         goal_box=((-0.5, -0.5, 0.2), (0.5, 0.5, 0.9)),
         obstacle_box=((-0.8, -0.8, 0.2), (0.8, 0.8, 1.0)),
+        reachable_goals=True,
     )
-    state, metrics = runner.run(scenario, n_steps=100)
+    # 150 steps = 7.5 s sim time: measured transient reaches mean 0.063 m
+    # at step 150 and 0.045 m at step 300; a handful of lanes (~7/64) orbit
+    # the obstacle barrier in a local minimum — inherent to short-horizon
+    # local MPC (the reference's single-scenario planner has the same
+    # failure mode), so the bar is the fleet MEAN, not the max.
+    state, metrics = runner.run(scenario, n_steps=150)
 
     assert float(metrics.reset_fraction) == 0.0
     # the fleet's steady state: arms parked on their goals
@@ -70,4 +82,23 @@ def test_panda_fleet_reaches_goals_long_horizon():
     clear = np.asarray(pair_clearance(q))
     assert clear.min() > 2 * r_body - 1e-3, (
         f"self-collision clearance violated: {clear.min():.4f}"
+    )
+
+    # obstacle safety is enforced by the HARD RadialConstraints, not the
+    # (deliberately small) soft repulsion weight — check the real
+    # link-obstacle clearance of the final fleet state
+    links = list(problem.robot.collision_links)
+    fkl = jax.jit(jax.vmap(lambda qq: problem.kin.fk_pos_links(qq, links)))
+    P = np.asarray(fkl(q))  # (B, L, 3)
+    pm = problem.param_map
+    params0 = np.asarray(jax.device_get(scenario.params))[:, 0]
+    start, k = pm.entries["obst"]
+    obst = params0[:, start : start + 4]  # one obstacle: (x, y, z, r)
+    obstacle_clear = (
+        np.linalg.norm(P - obst[:, None, :3], axis=-1)
+        - obst[:, None, 3]
+        - r_body
+    ).min()
+    assert obstacle_clear > -1e-3, (
+        f"obstacle clearance violated: {obstacle_clear:.4f}"
     )
