@@ -28,14 +28,17 @@ def main(setup_file: str, location: str = "./solvers/") -> int:
     import jax
     import jax.numpy as jnp
 
-    solve = jax.jit(problem.build_solver())
+    # warm-compile the B=1 vmapped form — the same program MPCPlanner's
+    # hot path runs (the fully-unbatched graph stalls the TPU compiler's
+    # layout pass; see planner/mpc_planner.py)
+    solve = jax.jit(jax.vmap(problem.build_solver()))
     dims = problem.dims
     t0 = time.perf_counter()
     res = solve(
-        jnp.zeros(dims.nx),
-        jnp.zeros((dims.N, problem.npar)),
-        jnp.zeros((dims.N, dims.nz)),
-        jnp.zeros((dims.N, problem.n_con)),
+        jnp.zeros((1, dims.nx)),
+        jnp.zeros((1, dims.N, problem.npar)),
+        jnp.zeros((1, dims.N, dims.nz)),
+        jnp.zeros((1, dims.N, problem.n_con)),
     )
     jax.block_until_ready(res)
     print(f"solver compiled for {jax.devices()[0].platform} "

@@ -114,10 +114,14 @@ def make_discrete_dynamics(
         import jax
         import numpy as np
 
-        x0 = jnp.zeros((dims.nx,), jnp.float32)
-        u0 = jnp.zeros((dims.nu,), jnp.float32)
-        A_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=0)(x0, u0)))
-        B_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=1)(x0, u0)))
+        # Build-time constants: run the eager jacfwd on the CPU backend —
+        # on the TPU each of the dozens of tiny ops would compile its own
+        # mini-program (~45 s cold per process, measured on axon).
+        with jax.default_device(jax.devices("cpu")[0]):
+            x0 = jnp.zeros((dims.nx,), jnp.float32)
+            u0 = jnp.zeros((dims.nu,), jnp.float32)
+            A_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=0)(x0, u0)))
+            B_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=1)(x0, u0)))
 
         def F_linear(x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
             return A_d.astype(x.dtype) @ x + B_d.astype(x.dtype) @ u
@@ -136,11 +140,13 @@ def constant_dynamics_jacobians(dims: ProblemDimensions, F: DynamicsFn):
     if dims.base_type != "holonomic":
         return None
     import jax
-
-    x0 = jnp.zeros((dims.nx,), jnp.float32)
-    u0 = jnp.zeros((dims.nu,), jnp.float32)
-    A = jax.jacfwd(F, argnums=0)(x0, u0)
-    B = jax.jacfwd(F, argnums=1)(x0, u0)
     import numpy as np
 
-    return np.asarray(A), np.asarray(B)
+    # build-time constants on the CPU backend (see make_discrete_dynamics)
+    with jax.default_device(jax.devices("cpu")[0]):
+        x0 = jnp.zeros((dims.nx,), jnp.float32)
+        u0 = jnp.zeros((dims.nu,), jnp.float32)
+        A = np.asarray(jax.jacfwd(F, argnums=0)(x0, u0))
+        B = np.asarray(jax.jacfwd(F, argnums=1)(x0, u0))
+
+    return A, B

@@ -318,10 +318,15 @@ class MpcProblem:
 
         # constant affine Jacobian, computed once (p enters rows only as
         # offsets; verified by tests/test_problem.py::test_affine_jacobian)
-        p0 = jnp.zeros((self.npar,), jnp.float32)
-        S_aff = np.asarray(
-            jax.jacfwd(lambda z: aff_rows(z, p0))(jnp.zeros((dims.nz,), jnp.float32))
-        )
+        # build-time constant on the CPU backend: the eager jacfwd's tiny
+        # ops each compile their own TPU mini-program otherwise
+        with jax.default_device(jax.devices("cpu")[0]):
+            p0 = jnp.zeros((self.npar,), jnp.float32)
+            S_aff = np.asarray(
+                jax.jacfwd(lambda z: aff_rows(z, p0))(
+                    jnp.zeros((dims.nz,), jnp.float32)
+                )
+            )
 
         return {
             "q_rows": q_rows,

@@ -130,6 +130,11 @@ class FleetRunner:
         fleet, 7 of 9 lanes that never converge warm do converge cold
         (scripts/dissect_tail_r4.py).
         """
+        # fleet_step is a large XLA program (minutes cold on TPU with the
+        # scalarized solver graphs); persistent-cache it like the planner
+        from robot_mpcs_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.problem = problem
         self.dims = problem.dims
         self.batch = batch_size

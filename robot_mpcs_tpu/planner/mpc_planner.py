@@ -66,6 +66,12 @@ class MPCPlanner:
     """Single-scenario receding-horizon planner with a jitted solve core."""
 
     def __init__(self, problem: MpcProblem, debug: bool = False):
+        # the solver is a large XLA program (minutes cold on TPU); the
+        # persistent cache is this framework's ForcesPro-solver-directory
+        # analog and should be on for every runtime entry point
+        from robot_mpcs_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self._problem = problem
         self._config = problem.mpc
         self._debug = debug
@@ -77,7 +83,22 @@ class MPCPlanner:
         self._r = 0.1  # default dynamic-obstacle radius (mpcPlanner.py:121)
 
         solve = problem.build_solver()
-        self._solve_fn = jax.jit(solve)
+        # Single-scenario solves run through a B=1 vmap: the solver's
+        # scalarized custom_vmap batch rules (FK and Gauss-Newton assembly,
+        # see models/fk.py and solver/al_ilqr.py) only engage under vmap,
+        # and the fully-unbatched graph of tiny (N,)-element ops sends the
+        # TPU compiler's layout pass into a multi-minute stall (measured:
+        # unbatched compile > 10 min, B=1 vmapped compile 7 s, identical
+        # numerics; CPU compiles both in seconds).
+        solve_b1 = jax.jit(jax.vmap(solve))
+
+        def _solve1(xinit, params, z0, lam0):
+            res = solve_b1(
+                xinit[None], params[None], z0[None], lam0[None]
+            )
+            return jax.tree_util.tree_map(lambda a: a[0], res)
+
+        self._solve_fn = _solve1
         self._solve_batch_fn = jax.jit(jax.vmap(solve))
         self.reset()
         self.concretize()

@@ -191,7 +191,115 @@ def build_solver(
             )
             return g, h
 
-        def stage_expansion(x, w, p, lam, mu, c_off=None):
+        n_arows = ar + ab + ac
+        # build-time sparsity of the affine Jacobian: (col, coef) nonzeros
+        # per row. Most rows (bounds, limits, control-penalty) have exactly
+        # one nonzero, so the scalarized assembly below touches a handful
+        # of entries instead of running an (n_arows x nv^2) GEMM.
+        _S_np = _np.asarray(S_aff, _np.float64)
+        _S_nz = [
+            [(j, float(_S_np[r, j])) for j in range(nv) if _S_np[r, j] != 0.0]
+            for r in range(n_arows)
+        ]
+
+        def _dense_blocks(Jq, gq, hq, ga, ha):
+            """Per-lane reference assembly (matmul form): returns the
+            Riccati blocks (lx, lw, lxx, lxw, lww) of the AL model."""
+            g = S.T @ ga
+            H = (S_outer.T @ ha).reshape(nv, nv)
+            if n_qrows:
+                g = g.at[:n_q].add(Jq.T @ gq)
+                H = H.at[:n_q, :n_q].add((Jq.T * hq) @ Jq)
+                if ns and qc:
+                    s_col = nx
+                    gq_c, hq_c, Jq_c = gq[qr + qb :], hq[qr + qb :], Jq[qr + qb :]
+                    cross = Jq_c.T @ hq_c
+                    g = g.at[s_col].add(jnp.sum(gq_c))
+                    H = H.at[:n_q, s_col].add(cross)
+                    H = H.at[s_col, :n_q].add(cross)
+                    H = H.at[s_col, s_col].add(jnp.sum(hq_c))
+            return g[:nx], g[nx:], H[:nx, :nx], H[:nx, nx:], H[nx:, nx:]
+
+        @jax.custom_batching.custom_vmap
+        def gn_assemble(Jq, gq, hq, ga, ha):
+            return _dense_blocks(Jq, gq, hq, ga, ha)
+
+        @gn_assemble.def_vmap
+        def _gn_assemble_vmap(axis_size, in_batched, Jq, gq, hq, ga, ha):
+            # Scalarized batch rule: every (row, col) entry is ONE batched
+            # scalar, the whole assembly is elementwise FMAs XLA fuses into
+            # a single VPU loop. The per-lane matmul form above lowers the
+            # batched tiny matmuls to convolutions with GB-scale
+            # intermediate traffic (measured 3.0 ms vs 0.3 ms at B=4096,
+            # N=20 on v5e for the q-family block alone).
+            Jq, gq, hq, ga, ha = [
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip((Jq, gq, hq, ga, ha), in_batched)
+            ]
+            bshape = gq.shape[:-1]
+            dtype = gq.dtype
+
+            def mat(v):
+                return (
+                    jnp.broadcast_to(jnp.asarray(v, dtype), bshape)
+                    if isinstance(v, float)
+                    else v
+                )
+
+            g_e = [0.0] * nv
+            H_e = [[0.0] * nv for _ in range(nv)]
+            # affine family: sparse S rows
+            for r in range(n_arows):
+                nzr = _S_nz[r]
+                gr, hr = ga[..., r], ha[..., r]
+                for i, ci in nzr:
+                    g_e[i] = g_e[i] + ci * gr
+                    for j, cj in nzr:
+                        if j >= i:
+                            H_e[i][j] = H_e[i][j] + (ci * cj) * hr
+            # q family: dense (R x n_q) Jacobian block
+            if n_qrows:
+                J = [
+                    [Jq[..., r, i] for i in range(n_q)] for r in range(n_qrows)
+                ]
+                for r in range(n_qrows):
+                    gr, hr = gq[..., r], hq[..., r]
+                    hJ = [hr * J[r][i] for i in range(n_q)]
+                    for i in range(n_q):
+                        g_e[i] = g_e[i] + J[r][i] * gr
+                        for j in range(i, n_q):
+                            H_e[i][j] = H_e[i][j] + hJ[i] * J[r][j]
+                if ns and qc:
+                    s_col = nx
+                    for r in range(qr + qb, n_qrows):
+                        gr, hr = gq[..., r], hq[..., r]
+                        g_e[s_col] = g_e[s_col] + gr
+                        H_e[s_col][s_col] = H_e[s_col][s_col] + hr
+                        for i in range(n_q):
+                            H_e[i][s_col] = H_e[i][s_col] + hr * J[r][i]
+            # mirror the upper triangle
+            for i in range(nv):
+                for j in range(i + 1, nv):
+                    H_e[j][i] = H_e[i][j]
+
+            def block(i0, i1, j0, j1):
+                return jnp.stack(
+                    [
+                        jnp.stack([mat(H_e[i][j]) for j in range(j0, j1)], axis=-1)
+                        for i in range(i0, i1)
+                    ],
+                    axis=-2,
+                )
+
+            lx = jnp.stack([mat(g_e[i]) for i in range(nx)], axis=-1)
+            lw = jnp.stack([mat(g_e[i]) for i in range(nx, nv)], axis=-1)
+            lxx = block(0, nx, 0, nx)
+            lxw = block(0, nx, nx, nv)
+            lww = block(nx, nv, nx, nv)
+            return (lx, lw, lxx, lxw, lww), (True,) * 5
+
+        def _expansion_coefs(x, w, p, lam, mu, c_off=None):
+            """(Jq, gq, hq, ga, ha): row Jacobian + per-row AL coefficients."""
             q = x[:n_q]
             vq, jvp_q = jax.linearize(lambda qq: stage.q_rows(qq, p), q)
             Jq = jax.vmap(jvp_q, out_axes=1)(jnp.eye(n_q, dtype=x.dtype))
@@ -205,23 +313,23 @@ def build_solver(
             ga, ha = _coefs(
                 va[:ar], wra, va[ar : ar + ab], wba, ca, lam[qc:], mu
             )
-            g = S.T @ ga
-            H = (S_outer.T @ ha).reshape(nv, nv)
-            if n_qrows:
-                gq, hq = _coefs(
-                    vq[:qr], wrq, vq[qr : qr + qb], wbq, cq, lam[:qc], mu
-                )
-                g = g.at[:n_q].add(Jq.T @ gq)
-                H = H.at[:n_q, :n_q].add((Jq.T * hq) @ Jq)
-                if ns and qc:
-                    # unit slack column of the shifted q-module con rows
-                    s_col = nx
-                    gq_c, hq_c, Jq_c = gq[qr + qb :], hq[qr + qb :], Jq[qr + qb :]
-                    cross = Jq_c.T @ hq_c
-                    g = g.at[s_col].add(jnp.sum(gq_c))
-                    H = H.at[:n_q, s_col].add(cross)
-                    H = H.at[s_col, :n_q].add(cross)
-                    H = H.at[s_col, s_col].add(jnp.sum(hq_c))
+            gq, hq = (
+                _coefs(vq[:qr], wrq, vq[qr : qr + qb], wbq, cq, lam[:qc], mu)
+                if n_qrows
+                else (jnp.zeros((0,), x.dtype), jnp.zeros((0,), x.dtype))
+            )
+            return Jq, gq, hq, ga, ha
+
+        def stage_expansion_blocks(x, w, p, lam, mu, c_off=None):
+            return gn_assemble(*_expansion_coefs(x, w, p, lam, mu, c_off))
+
+        def stage_expansion(x, w, p, lam, mu, c_off=None):
+            """(g, H) dense form — white-box/test surface; the solver's hot
+            loop uses ``stage_expansion_blocks`` (same math, block outputs,
+            scalarized batch rule)."""
+            lx, lw, lxx, lxw, lww = stage_expansion_blocks(x, w, p, lam, mu, c_off)
+            g = jnp.concatenate([lx, lw])
+            H = jnp.block([[lxx, lxw], [lxw.T, lww]])
             return g, H
 
     elif structured:
@@ -560,11 +668,16 @@ def build_solver(
 
         def body(carry):
             X, W, cost_cur, reg, done, grad_norm, n_used, it = carry
-            g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None, 0))(
-                X, W, P, lam, mu, C_OFF
-            )
-            lx, lw = g[:, :nx], g[:, nx:]
-            lxx, lxw, lww = H[:, :nx, :nx], H[:, :nx, nx:], H[:, nx:, nx:]
+            if split:
+                lx, lw, lxx, lxw, lww = jax.vmap(
+                    stage_expansion_blocks, in_axes=(0, 0, 0, 0, None, 0)
+                )(X, W, P, lam, mu, C_OFF)
+            else:
+                g, H = jax.vmap(stage_expansion, in_axes=(0, 0, 0, 0, None, 0))(
+                    X, W, P, lam, mu, C_OFF
+                )
+                lx, lw = g[:, :nx], g[:, nx:]
+                lxx, lxw, lww = H[:, :nx, :nx], H[:, :nx, nx:], H[:, nx:, nx:]
             A, B = all_dyn_jacobians(X, W)
             # stage N has no outgoing dynamics
             A = A.at[-1].set(0.0)

@@ -34,6 +34,7 @@ def worker(n_dev: int) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_dev}"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120 --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     ).strip()
     import jax
 
@@ -84,6 +85,7 @@ def mp_worker(n_dev_local: int) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_dev_local}"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120 --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     ).strip()
     import jax
 

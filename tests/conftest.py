@@ -13,7 +13,20 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in _flags:
+    # The sharded solver runs its batched while_loop conditions as
+    # cross-device all-reduces. XLA CPU's collective watchdog CHECK-fails
+    # (SIGABRT, no Python traceback) when one virtual device's threadpool
+    # is starved past the default terminate timeout — which reliably
+    # happens when anything CPU-heavy (e.g. a TPU Mosaic compile) runs on
+    # the same machine. Raise both watchdog timeouts so contention slows
+    # tests down instead of killing them.
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 

@@ -15,7 +15,11 @@ import sys
 # must precede jax import: 2 virtual CPU devices per process
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=2").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2"
+        # raised collective watchdog timeouts: see tests/conftest.py
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120 --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    ).strip()
 
 import jax
 
