@@ -25,21 +25,23 @@ BATCH = int(os.environ.get("SWEEP_BATCH", "4096"))
 STEPS = int(os.environ.get("SWEEP_STEPS", "20"))
 
 CONFIGS = {
-    # round 1 of the sweep (results in PROFILE.md): tier budget binds, not
-    # capacity; stall_reset_after=3 recycles slow lanes into scarce rescue
-    # slots and HURTS (0.886 vs 0.919)
-    "baseline_r3_nostall": dict(rescue_tiers=[(8, 4, 8)], stall_reset_after=0),
-    "baseline_r3_stall3": dict(rescue_tiers=[(8, 4, 8)], stall_reset_after=3),
-    "tier_rich": dict(rescue_tiers=[(8, 6, 12)], stall_reset_after=3),
-    "tier_wide": dict(rescue_tiers=[(4, 4, 8)], stall_reset_after=3),
-    "cascade_a": dict(rescue_tiers=[(8, 4, 8), (32, 8, 16)], stall_reset_after=3),
-    "cascade_b": dict(rescue_tiers=[(8, 4, 8), (64, 12, 16)], stall_reset_after=3),
-    # round 2: backtracking line search inside the rescue tier (the parity
-    # accuracy config converges these problems reliably with ls=8; merit
-    # sweeps at B/8 width are cheap)
-    "ls_a": dict(rescue_tiers=[(8, 4, 8, 8)], stall_reset_after=0),
-    "ls_b": dict(rescue_tiers=[(8, 6, 12, 8)], stall_reset_after=0),
-    "ls_c": dict(rescue_tiers=[(8, 8, 16, 8)], stall_reset_after=0),
+    # Pre-scalarization sweep findings (round-3 cost structure, recorded in
+    # git history): tier BUDGET binds, not capacity; stall_reset_after=3
+    # recycles slow lanes into scarce rescue slots and hurts (0.886 vs
+    # 0.919); deep backtracking in the rescue tier is what converges the
+    # tail (ls_b (8,6,12,8): 0.985, ls_c (8,8,16,8): 0.993) but cost 2-3x
+    # throughput at the old 515 ms step. Post-scalarization (PROFILE.md)
+    # the step is 53 ms, so the deep tiers are nearly free — this sweep
+    # picks the production default among them.
+    "base_r4": dict(rescue_tiers=[(8, 4, 8)], stall_reset_after=0),
+    "lsb_r4": dict(rescue_tiers=[(8, 6, 12, 8)], stall_reset_after=0),
+    "lsc_r4": dict(rescue_tiers=[(8, 8, 16, 8)], stall_reset_after=0),
+    # capacity variant: 1/4-width tier holds every bad lane (no overflow)
+    "wide_deep": dict(rescue_tiers=[(4, 6, 12, 8)], stall_reset_after=0),
+    # cheap polish pass first, deep pass only for what remains
+    "cascade_deep": dict(
+        rescue_tiers=[(8, 4, 8), (8, 8, 16, 8)], stall_reset_after=0
+    ),
 }
 
 
