@@ -12,7 +12,19 @@ per-chip rate against that anchor. (The reference itself publishes no
 numbers; it runs ONE solve per control step through a licensed C solver,
 reference robotmpcs/planner/mpcPlanner.py:240-288.)
 
-Prints exactly one JSON line.
+Output contract (driver parses the LAST JSON line on stdout):
+ 1. the headline JSON line is printed IMMEDIATELY after the main fleet
+    measurement — before any optional extras — so a hang or timeout in the
+    extras can never lose the headline number (round-4 failure mode);
+ 2. extras (single-robot latency, pointRobot/boxer problem classes) run
+    only while wall-clock remains under ``BENCH_TIME_BUDGET`` seconds
+    (default 420, measured from process start) and each is exception-
+    guarded;
+ 3. a final enriched JSON line (same headline fields + extras) is always
+    printed last.
+
+Environment knobs: BENCH_BATCH, BENCH_STEPS, BENCH_WARMUP_MAX,
+BENCH_TIME_BUDGET, BENCH_LATENCY=0, BENCH_MULTICLASS=0.
 """
 
 import json
@@ -20,7 +32,14 @@ import os
 import sys
 import time
 
-import jax
+T0 = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - T0
+
+
+import jax  # noqa: E402
 
 
 #: per-class scenario samplers (goal/obstacle boxes sized to each robot's
@@ -72,16 +91,69 @@ def _load_problem(name):
     return MpcProblem(setup), setup
 
 
+def _scenario_for(problem, b, spec_name, seed=0):
+    import warnings
+
+    from robot_mpcs_tpu.parallel.fleet import random_fleet_scenario
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return random_fleet_scenario(
+            problem, b, seed=seed, **CLASS_SPECS[spec_name]["sampler"]
+        )
+
+
+def _sync(metrics) -> float:
+    """Genuine host-visible barrier: pull one scalar to the host.
+
+    ``block_until_ready`` alone has been observed to return early through
+    the remote-TPU relay used on the bench machine; a device->host scalar
+    transfer cannot lie.
+    """
+    return float(metrics.converged_fraction)
+
+
+def _warm_and_measure(runner, state, scenario, steps, warmup_max, note):
+    """Warm a fleet executable to steady state, then measure throughput.
+
+    Through the remote-TPU relay the first 1-2 executions of a freshly
+    loaded executable run ~1000x slower than steady state (binary upload /
+    program load on the device host). Warm up with per-step host syncs
+    until a step runs in <1.5 s (minimum 2, cap ``warmup_max``), then time
+    ``steps`` asynchronously-chained steps behind one final sync —
+    exactly how a fleet runs in production.
+    """
+    warm_times = []
+    metrics = None
+    for _ in range(max(2, warmup_max)):
+        t1 = time.perf_counter()
+        state, metrics = runner.step(state, scenario)
+        _sync(metrics)
+        warm_times.append(time.perf_counter() - t1)
+        if len(warm_times) >= 2 and warm_times[-1] < 1.5:
+            break
+    t1 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = runner.step(state, scenario)
+    jax.block_until_ready(metrics)
+    _sync(metrics)
+    elapsed = time.perf_counter() - t1
+    note[f"warmup_steps"] = len(warm_times)
+    note[f"warmup_s"] = round(sum(warm_times), 1)
+    return state, metrics, elapsed
+
+
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    warmup_max = int(os.environ.get("BENCH_WARMUP_MAX", "8"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "420"))
 
     from robot_mpcs_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
-    from robot_mpcs_tpu.parallel.fleet import FleetRunner, random_fleet_scenario
+    from robot_mpcs_tpu.parallel.fleet import FleetRunner
     from robot_mpcs_tpu.parallel.mesh import make_mesh
 
     problem, setup = _load_problem("panda")
@@ -92,94 +164,21 @@ def main() -> None:
     if batch % n_chips:
         batch = ((batch + n_chips - 1) // n_chips) * n_chips
 
-    def scenario_for(b, prob=problem, spec_name="panda"):
-        return random_fleet_scenario(
-            prob, b, seed=0, **CLASS_SPECS[spec_name]["sampler"]
-        )
-
     runner = FleetRunner(problem, batch_size=batch, mesh=mesh)
-    scenario = runner.shard_scenario(scenario_for(batch))
+    scenario = runner.shard_scenario(_scenario_for(problem, batch, "panda"))
     state = runner.init_state(scenario)
 
-    for _ in range(warmup):
-        state, metrics = runner.step(state, scenario)
-    jax.block_until_ready(metrics)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = runner.step(state, scenario)
-    jax.block_until_ready(metrics)
-    elapsed = time.perf_counter() - t0
+    note = {}
+    state, metrics, elapsed = _warm_and_measure(
+        runner, state, scenario, steps, warmup_max, note
+    )
 
     solves = batch * steps
     solves_per_s = solves / elapsed
     per_chip = solves_per_s / n_chips
     baseline_per_chip = 10_000 / 16  # v5e-16 north-star, per chip
 
-    # ---- latency mode: single-robot real-time story ----------------------
-    # The reference's implicit perf contract is per-step solve <= dt
-    # (pointRobot/panda dt = 0.05 s, boxer dt = 0.1 s, reference
-    # examples/config/*.yaml:5-6). Measure p50 per-step latency at small
-    # batches on one chip.
-    import warnings as _warnings
-
-    def measure_latency(prob, b, spec_name):
-        with _warnings.catch_warnings():
-            _warnings.simplefilter("ignore")  # small-batch compaction notes
-            r = FleetRunner(prob, batch_size=b, mesh=make_mesh(devices=devices[:1]))
-        sc = r.shard_scenario(scenario_for(b, prob, spec_name))
-        st = r.init_state(sc)
-        for _ in range(3):
-            st, m = r.step(st, sc)
-        jax.block_until_ready(m)
-        times = []
-        for _ in range(20):
-            t1 = time.perf_counter()
-            st, m = r.step(st, sc)
-            jax.block_until_ready(m)
-            times.append(1000.0 * (time.perf_counter() - t1))
-        times.sort()
-        return times[len(times) // 2]
-
     dt_budget_ms = 1000.0 * setup.mpc.time_step
-    latency = {}
-    if os.environ.get("BENCH_LATENCY", "1") != "0":
-        for b in (1, 8, 64):
-            p50 = measure_latency(problem, b, "panda")
-            latency[f"p50_solve_latency_ms_b{b}"] = round(p50, 2)
-            latency[f"realtime_ok_b{b}"] = bool(p50 <= dt_budget_ms)
-
-    # ---- multi-class coverage: pointRobot (20 Hz) and boxer (10 Hz) ------
-    # Throughput + single-robot latency for the other two reference problem
-    # families, against their own dt budgets (VERDICT r3 item 4). Smaller
-    # batches: these classes are lighter than the panda headline.
-    multiclass = {}
-    if os.environ.get("BENCH_MULTICLASS", "1") != "0":
-        for name in ("pointRobot", "boxer"):
-            prob_c, setup_c = _load_problem(name)
-            budget_ms = 1000.0 * setup_c.mpc.time_step
-            b_c = min(1024, batch)
-            runner_c = FleetRunner(prob_c, batch_size=b_c, mesh=mesh)
-            sc = runner_c.shard_scenario(scenario_for(b_c, prob_c, name))
-            st = runner_c.init_state(sc)
-            for _ in range(warmup):
-                st, m = runner_c.step(st, sc)
-            jax.block_until_ready(m)
-            t1 = time.perf_counter()
-            for _ in range(10):
-                st, m = runner_c.step(st, sc)
-            jax.block_until_ready(m)
-            dt_c = time.perf_counter() - t1
-            p50 = measure_latency(prob_c, 1, name)
-            multiclass[f"{name}_solves_per_s_per_chip"] = round(
-                b_c * 10 / dt_c / n_chips, 1
-            )
-            multiclass[f"{name}_converged_fraction"] = round(
-                float(m.converged_fraction), 4
-            )
-            multiclass[f"{name}_p50_latency_ms_b1"] = round(p50, 2)
-            multiclass[f"{name}_realtime_ok_b1"] = bool(p50 <= budget_ms)
-
     result = {
         "metric": "panda_H20_mpc_solves_per_s_per_chip",
         "value": round(per_chip, 1),
@@ -207,11 +206,100 @@ def main() -> None:
             "mean_iterations": round(float(metrics.mean_iterations), 2),
             "throughput_step_ms": round(1000.0 * elapsed / steps, 2),
             "dt_budget_ms": round(dt_budget_ms, 2),
-            **latency,
-            **multiclass,
+            "setup_s": round(_elapsed() - elapsed - sum((note.get("warmup_s", 0),)), 1),
+            **note,
         },
     }
-    print(json.dumps(result))
+    # ---- headline out FIRST: nothing below may lose this line ------------
+    print(json.dumps(result), flush=True)
+
+    # ---- optional extras, wall-clock-budgeted and exception-guarded ------
+    def remaining():
+        return budget - _elapsed()
+
+    def measure_latency(prob, b, spec_name):
+        """p50 per-step time at batch b on one chip (sync floor subtracted).
+
+        Each per-step host sync costs a fixed relay round-trip on this
+        machine (~25-120 ms); measure that floor on an already-materialized
+        array and subtract it so the number reflects device step time.
+        """
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = FleetRunner(prob, batch_size=b, mesh=make_mesh(devices=devices[:1]))
+        sc = r.shard_scenario(_scenario_for(prob, b, spec_name))
+        st = r.init_state(sc)
+        m = None
+        for _ in range(4):
+            st, m = r.step(st, sc)
+            _sync(m)
+        # sync floor: repeated scalar pulls of a ready array
+        floors = []
+        for _ in range(5):
+            t1 = time.perf_counter()
+            _sync(m)
+            floors.append(time.perf_counter() - t1)
+        floor = sorted(floors)[len(floors) // 2]
+        times = []
+        for _ in range(15):
+            t1 = time.perf_counter()
+            st, m = r.step(st, sc)
+            _sync(m)
+            times.append(time.perf_counter() - t1)
+        times.sort()
+        p50 = max(0.0, times[len(times) // 2] - floor)
+        return 1000.0 * p50
+
+    latency = {}
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        for b in (1, 64):
+            if remaining() < 150.0:
+                latency["latency_skipped"] = "time budget"
+                break
+            try:
+                p50 = measure_latency(problem, b, "panda")
+                latency[f"p50_solve_latency_ms_b{b}"] = round(p50, 2)
+                latency[f"realtime_ok_b{b}"] = bool(p50 <= dt_budget_ms)
+            except Exception as e:  # noqa: BLE001 - extras must not kill the bench
+                latency["latency_error"] = repr(e)[:200]
+                break
+
+    # ---- multi-class coverage: pointRobot (20 Hz) and boxer (10 Hz) ------
+    # Throughput for the other two reference problem families, against
+    # their own dt budgets (VERDICT r3 item 4).
+    multiclass = {}
+    if os.environ.get("BENCH_MULTICLASS", "1") != "0":
+        for name in ("pointRobot", "boxer"):
+            if remaining() < 180.0:
+                multiclass["multiclass_skipped"] = "time budget"
+                break
+            try:
+                prob_c, setup_c = _load_problem(name)
+                b_c = min(1024, batch)
+                runner_c = FleetRunner(prob_c, batch_size=b_c, mesh=mesh)
+                sc = runner_c.shard_scenario(_scenario_for(prob_c, b_c, name))
+                st = runner_c.init_state(sc)
+                note_c = {}
+                st, m, dt_c = _warm_and_measure(
+                    runner_c, st, sc, 10, warmup_max, note_c
+                )
+                multiclass[f"{name}_solves_per_s_per_chip"] = round(
+                    b_c * 10 / dt_c / n_chips, 1
+                )
+                multiclass[f"{name}_converged_fraction"] = round(
+                    float(m.converged_fraction), 4
+                )
+            except Exception as e:  # noqa: BLE001
+                multiclass["multiclass_error"] = repr(e)[:200]
+                break
+
+    result["extra"].update(latency)
+    result["extra"].update(multiclass)
+    result["extra"]["bench_wall_s"] = round(_elapsed(), 1)
+    # final enriched line: the driver parses the LAST JSON line
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -112,12 +112,14 @@ def make_discrete_dynamics(
         # instead of `substeps` RK stages (identical values, fewer
         # sequential ops in the solver's hot scans).
         import jax
+
+        from robot_mpcs_tpu.utils.devices import local_cpu_device
         import numpy as np
 
         # Build-time constants: run the eager jacfwd on the CPU backend —
         # on the TPU each of the dozens of tiny ops would compile its own
         # mini-program (~45 s cold per process, measured on axon).
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(local_cpu_device()):
             x0 = jnp.zeros((dims.nx,), jnp.float32)
             u0 = jnp.zeros((dims.nu,), jnp.float32)
             A_d = jnp.asarray(np.asarray(jax.jacfwd(F, argnums=0)(x0, u0)))
@@ -142,8 +144,10 @@ def constant_dynamics_jacobians(dims: ProblemDimensions, F: DynamicsFn):
     import jax
     import numpy as np
 
+    from robot_mpcs_tpu.utils.devices import local_cpu_device
+
     # build-time constants on the CPU backend (see make_discrete_dynamics)
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(local_cpu_device()):
         x0 = jnp.zeros((dims.nx,), jnp.float32)
         u0 = jnp.zeros((dims.nu,), jnp.float32)
         A = np.asarray(jax.jacfwd(F, argnums=0)(x0, u0))

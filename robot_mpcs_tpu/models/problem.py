@@ -244,6 +244,8 @@ class MpcProblem:
         """
         import jax
 
+        from robot_mpcs_tpu.utils.devices import local_cpu_device
+
         dims = self.dims
         pm = self.param_map
         rows = self.bound_rows()
@@ -320,7 +322,7 @@ class MpcProblem:
         # offsets; verified by tests/test_problem.py::test_affine_jacobian)
         # build-time constant on the CPU backend: the eager jacfwd's tiny
         # ops each compile their own TPU mini-program otherwise
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(local_cpu_device()):
             p0 = jnp.zeros((self.npar,), jnp.float32)
             S_aff = np.asarray(
                 jax.jacfwd(lambda z: aff_rows(z, p0))(

@@ -65,6 +65,7 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
+        _barrier()
         return True
 
     # No explicit rendezvous: let JAX auto-detect managed environments
@@ -72,8 +73,44 @@ def initialize(
     cluster_hints = ("TPU_WORKER_HOSTNAMES", "SLURM_JOB_ID", "COORDINATOR_ADDRESS")
     if any(h in os.environ for h in cluster_hints):
         jax.distributed.initialize()
+        _barrier()
         return True
     return False
+
+
+def _barrier() -> None:
+    """Run one trivial global collective immediately after initialization.
+
+    The communication backend's context (gloo on CPU, the TPU runtime's
+    launch group otherwise) is established lazily at the FIRST collective
+    dispatch, under a short rendezvous timeout (~30 s for gloo key
+    exchange). If that first collective is the application's main program,
+    rank skew from uneven compile times easily exceeds the timeout
+    (observed: a persistent-cache hit on one rank vs a cold multi-minute
+    compile on another). A barrier here pins context creation to process
+    startup, where all ranks are within seconds of each other; subsequent
+    heavyweight dispatches then reuse the established context and may skew
+    freely.
+    """
+    try:
+        if jax.process_count() <= 1:
+            return
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("d",))
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d"))
+        arr = make_global_array(
+            np.ones((len(jax.devices()),), np.float32), sh
+        )
+        out = jax.jit(
+            lambda x: x.sum(),
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            ),
+        )(arr)
+        jax.block_until_ready(out)
+    except Exception as e:  # noqa: BLE001 - best-effort warm-up, not load-bearing
+        import warnings
+
+        warnings.warn(f"post-init collective barrier failed: {e}", stacklevel=2)
 
 
 def process_count() -> int:

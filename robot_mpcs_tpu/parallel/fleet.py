@@ -18,6 +18,8 @@ from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
+
+from robot_mpcs_tpu.utils.devices import local_cpu_device
 import jax.numpy as jnp
 import numpy as np
 
@@ -458,6 +460,24 @@ def random_fleet_scenario(
     dims = problem.dims
     pm = problem.param_map
     params = np.zeros((batch_size, dims.N, problem.npar), dtype=np.float32)
+    # Scenario generation is host-side one-shot work; pin its FK programs to
+    # the CPU backend. On remote-relay TPU setups every extra TPU executable
+    # costs a fixed multi-second load even on compile-cache hits, and these
+    # tiny programs would otherwise sit on the benchmark's critical path.
+    _cpu = local_cpu_device()
+
+    # joint-limit-aware configuration sampling box (ADVICE r4): intersect the
+    # generic +-1.8 rad box with the URDF joint limits so sampled
+    # configurations (and their FK-image goals) are reachable under the REAL
+    # limits, not only under the benchmark's widened limit parameters
+    kin = problem.kin
+    q_lo = np.full((dims.n,), -1.8)
+    q_hi = np.full((dims.n,), 1.8)
+    n_arm = kin.joint_limits.shape[0]
+    if n_arm and dims.n >= n_arm:
+        off = dims.n - n_arm
+        q_lo[off:] = np.maximum(q_lo[off:], kin.joint_limits[:, 0])
+        q_hi[off:] = np.minimum(q_hi[off:], kin.joint_limits[:, 1])
 
     def set_all(name, values):
         """values: (B, k) broadcast over stages."""
@@ -483,15 +503,18 @@ def random_fleet_scenario(
         fk_ee_b = jax.jit(
             jax.vmap(lambda q: problem.kin.fk_pos(q, problem.robot.end_link))
         )
-        q_rand = rng.uniform(-1.8, 1.8, size=(batch_size, dims.n)).astype(np.float32)
-        ee = np.asarray(fk_ee_b(jnp.asarray(q_rand)))
-        for _ in range(32):
-            in_box = np.all((ee >= lo) & (ee <= hi), axis=1)
-            if in_box.all():
-                break
-            n_bad = int((~in_box).sum())
-            q_rand[~in_box] = rng.uniform(-1.8, 1.8, size=(n_bad, dims.n))
+        with jax.default_device(_cpu):
+            q_rand = rng.uniform(q_lo, q_hi, size=(batch_size, dims.n)).astype(
+                np.float32
+            )
             ee = np.asarray(fk_ee_b(jnp.asarray(q_rand)))
+            for _ in range(32):
+                in_box = np.all((ee >= lo) & (ee <= hi), axis=1)
+                if in_box.all():
+                    break
+                n_bad = int((~in_box).sum())
+                q_rand[~in_box] = rng.uniform(q_lo, q_hi, size=(n_bad, dims.n))
+                ee = np.asarray(fk_ee_b(jnp.asarray(q_rand)))
         goals = ee.astype(np.float32)
     set_all("goal", goals[:, : dims.m])
     if "r_body" in pm.entries:
@@ -523,23 +546,24 @@ def random_fleet_scenario(
             )
             return jnp.min(d) - 2.0 * r_body
 
-        for attempt in range(32):
-            clear = np.asarray(_pair_clearance(jnp.asarray(xinit[:, : dims.n])))
-            bad = clear < 0.05
-            if not bad.any():
-                break
-            xinit[bad, : dims.n] = rng.uniform(
-                -1.0, 1.0, size=(int(bad.sum()), dims.n)
-            )
-        else:
-            import warnings
+        with jax.default_device(_cpu):
+            for attempt in range(32):
+                clear = np.asarray(_pair_clearance(jnp.asarray(xinit[:, : dims.n])))
+                bad = clear < 0.05
+                if not bad.any():
+                    break
+                xinit[bad, : dims.n] = rng.uniform(
+                    -1.0, 1.0, size=(int(bad.sum()), dims.n)
+                )
+            else:
+                import warnings
 
-            warnings.warn(
-                f"random_fleet_scenario: self-collision rejection sampling "
-                f"exhausted after 32 rounds; {int(bad.sum())}/{batch_size} "
-                f"scenarios start within 2*r_body of self-collision",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"random_fleet_scenario: self-collision rejection sampling "
+                    f"exhausted after 32 rounds; {int(bad.sum())}/{batch_size} "
+                    f"scenarios start within 2*r_body of self-collision",
+                    stacklevel=2,
+                )
 
     if "obst" in pm.entries:
         # Rejection-sample obstacle positions so no scenario *starts* in
@@ -551,11 +575,12 @@ def random_fleet_scenario(
         olo, ohi = np.asarray(obstacle_box[0]), np.asarray(obstacle_box[1])
         n_obst = dims.n_obst
         links = list(problem.robot.collision_links)
-        fk0 = np.asarray(
-            jax.jit(jax.vmap(lambda q: problem.kin.fk_pos_links(q, links)))(
-                _jnp.asarray(xinit[:, : dims.n])
-            )
-        )  # (B, L, 3)
+        with jax.default_device(_cpu):
+            fk0 = np.asarray(
+                jax.jit(jax.vmap(lambda q: problem.kin.fk_pos_links(q, links)))(
+                    _jnp.asarray(xinit[:, : dims.n])
+                )
+            )  # (B, L, 3)
         pos = rng.uniform(olo, ohi, size=(batch_size, n_obst, 3)).astype(np.float32)
         rad = rng.uniform(*obstacle_radius, size=(batch_size, n_obst, 1)).astype(np.float32)
         for _ in range(32):

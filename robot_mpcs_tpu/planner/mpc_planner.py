@@ -90,16 +90,19 @@ class MPCPlanner:
         # TPU compiler's layout pass into a multi-minute stall (measured:
         # unbatched compile > 10 min, B=1 vmapped compile 7 s, identical
         # numerics; CPU compiles both in seconds).
-        solve_b1 = jax.jit(jax.vmap(solve))
+        # ONE jitted vmapped solve shared by the single- and batch-entry
+        # APIs: a planner using both at B=1 would otherwise trace/compile
+        # the identical program twice (ADVICE r4)
+        solve_batched = jax.jit(jax.vmap(solve))
 
         def _solve1(xinit, params, z0, lam0):
-            res = solve_b1(
+            res = solve_batched(
                 xinit[None], params[None], z0[None], lam0[None]
             )
             return jax.tree_util.tree_map(lambda a: a[0], res)
 
         self._solve_fn = _solve1
-        self._solve_batch_fn = jax.jit(jax.vmap(solve))
+        self._solve_batch_fn = solve_batched
         self.reset()
         self.concretize()
 

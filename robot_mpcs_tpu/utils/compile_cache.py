@@ -18,11 +18,26 @@ _DEFAULT_DIR = os.environ.get(
 
 
 def enable_compile_cache(cache_dir: str = _DEFAULT_DIR) -> str:
-    """Enable the persistent compilation cache (idempotent)."""
+    """Enable the persistent compilation cache (idempotent).
+
+    Best-effort: on a read-only HOME or sandboxed runtime the cache dir may
+    not be creatable — constructing a planner must then degrade to running
+    without a persistent cache, not raise (ADVICE r4).
+    """
     import jax
 
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, PermissionError) as e:
+        import warnings
+
+        warnings.warn(
+            f"persistent compile cache disabled ({e}); every process will "
+            f"recompile from scratch",
+            stacklevel=2,
+        )
+        return ""
     return cache_dir
