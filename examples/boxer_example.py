@@ -11,7 +11,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
-from mpc_example import CONFIG_DIR, MpcExample, SphereObstacle
+from mpc_example import CONFIG_DIR, MpcExample, SphereObstacle, episode_steps
 
 from robot_mpcs_tpu.perception.free_space_decomposition import (
     FreeSpaceDecomposition,
@@ -112,7 +112,8 @@ def main():
     example.initialize_environment()
     example.build()
     example.set_mpc_parameter()
-    return 0 if example.run() else 1
+    steps, smoke = episode_steps(300)
+    return 0 if (example.run(steps) or smoke) else 1
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 from boxer_example import BoxerMpcExample
-from mpc_example import CONFIG_DIR, SphereObstacle
+from mpc_example import CONFIG_DIR, SphereObstacle, episode_steps
 
 from robot_mpcs_tpu.global_planner.global_planner import GlobalPlanner
 
@@ -79,7 +79,8 @@ def main():
     example.initialize_environment()
     example.build()
     example.set_mpc_parameter()
-    return 0 if example.run() else 1
+    steps, smoke = episode_steps(400)
+    return 0 if (example.run(steps) or smoke) else 1
 
 
 if __name__ == "__main__":

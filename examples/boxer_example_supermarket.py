@@ -10,7 +10,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 from boxer_example_global import BoxerGlobalMpcExample
-from mpc_example import CONFIG_DIR, SphereObstacle
+from mpc_example import CONFIG_DIR, SphereObstacle, episode_steps
 
 from robot_mpcs_tpu.global_planner.global_planner import GlobalPlanner
 
@@ -83,7 +83,8 @@ def main():
     example._limits_env = np.array([[-10.0, 10.0], [-10.0, 10.0], [0.0, 1.0]])
     example.build()
     example.set_mpc_parameter()
-    return 0 if example.run(500) else 1
+    steps, smoke = episode_steps(500)
+    return 0 if (example.run(steps) or smoke) else 1
 
 
 if __name__ == "__main__":

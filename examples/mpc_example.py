@@ -18,12 +18,32 @@ import numpy as np
 # allow running examples as plain scripts without installing the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# CI smoke knobs (tests/test_examples_smoke.py): MPC_EXAMPLE_PLATFORM pins
+# the backend (the axon TPU plugin overrides JAX_PLATFORMS env at import,
+# so this must go through jax.config after import), MPC_EXAMPLE_STEPS
+# truncates episodes
+if os.environ.get("MPC_EXAMPLE_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MPC_EXAMPLE_PLATFORM"])
+
 from robot_mpcs_tpu.config import Setup, load_setup
 from robot_mpcs_tpu.models.problem import MpcProblem
 from robot_mpcs_tpu.planner.mpc_planner import MPCPlanner
 from robot_mpcs_tpu.sim.kinematic_sim import KinematicSim
 
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "config")
+
+
+def episode_steps(default: int):
+    """(n_steps, smoke_mode) honoring the MPC_EXAMPLE_STEPS CI knob.
+
+    In smoke mode (knob set) the episode is truncated, so "goal not
+    reached" is expected and must not fail the script — only crashes and
+    solver failures should.
+    """
+    v = os.environ.get("MPC_EXAMPLE_STEPS")
+    return (int(v), True) if v else (default, False)
 
 
 class SphereObstacle:

@@ -444,14 +444,18 @@ class MpcProblem:
 
     # ----------------------------------------------------- artifact I/O
 
-    def generate_solver(self, location: str = "./") -> str:
+    def generate_solver(self, location: str = "./", export: bool = True) -> str:
         """Persist the solver artifact directory (reference
         ``generateSolver``, mpcModel.py:128-141): paramMap.yaml +
-        properties.yaml + the full setup. Returns the artifact path.
+        properties.yaml + the full setup, plus (``export=True``) the
+        serialized traced-and-lowered B=1 planner program
+        (``jax.export``) — the analog of the compiled solver library the
+        reference emits next to its yamls. Returns the artifact path.
 
-        There is no native codegen step to run here — compilation happens
-        via ``jax.jit`` at first use (and is cached by XLA's persistent
-        compilation cache on TPU).
+        A loading process with the export present skips Python tracing
+        entirely; the XLA compile is served by the persistent compilation
+        cache. Without it, compilation happens via ``jax.jit`` at first
+        use.
         """
         path = os.path.join(location, self.solver_name)
         os.makedirs(path, exist_ok=True)
@@ -461,6 +465,10 @@ class MpcProblem:
             yaml.dump(self.properties(), f, default_flow_style=False)
         with open(os.path.join(path, "setup.yaml"), "w") as f:
             yaml.dump(self.setup.to_dict(), f, default_flow_style=False)
+        if export:
+            from robot_mpcs_tpu.utils.aot import export_planner_solve
+
+            export_planner_solve(self, path, batch=1)
         return path
 
     @classmethod

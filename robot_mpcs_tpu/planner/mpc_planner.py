@@ -65,7 +65,12 @@ class EmptyObstacle:
 class MPCPlanner:
     """Single-scenario receding-horizon planner with a jitted solve core."""
 
-    def __init__(self, problem: MpcProblem, debug: bool = False):
+    def __init__(
+        self,
+        problem: MpcProblem,
+        debug: bool = False,
+        solver_dir: Optional[str] = None,
+    ):
         # the solver is a large XLA program (minutes cold on TPU); the
         # persistent cache is this framework's ForcesPro-solver-directory
         # analog and should be on for every runtime entry point
@@ -82,18 +87,29 @@ class MPCPlanner:
         self._N = self._dims.N
         self._r = 0.1  # default dynamic-obstacle radius (mpcPlanner.py:121)
 
-        solve = problem.build_solver()
-        # Single-scenario solves run through a B=1 vmap: the solver's
-        # scalarized custom_vmap batch rules (FK and Gauss-Newton assembly,
-        # see models/fk.py and solver/al_ilqr.py) only engage under vmap,
-        # and the fully-unbatched graph of tiny (N,)-element ops sends the
-        # TPU compiler's layout pass into a multi-minute stall (measured:
-        # unbatched compile > 10 min, B=1 vmapped compile 7 s, identical
-        # numerics; CPU compiles both in seconds).
-        # ONE jitted vmapped solve shared by the single- and batch-entry
-        # APIs: a planner using both at B=1 would otherwise trace/compile
-        # the identical program twice (ADVICE r4)
-        solve_batched = jax.jit(jax.vmap(solve))
+        # AOT-exported program from the artifact directory, when present
+        # and ABI-compatible (the ForcesPro ``Solver.from_directory``
+        # analog, reference mpcPlanner.py:73): skips Python tracing in
+        # this process. Falls through to a fresh jit otherwise.
+        solve_batched = None
+        if solver_dir is not None:
+            from robot_mpcs_tpu.utils.aot import load_planner_solve
+
+            solve_batched = load_planner_solve(problem, solver_dir, batch=1)
+        if solve_batched is None:
+            solve = problem.build_solver()
+            # Single-scenario solves run through a B=1 vmap: the solver's
+            # scalarized custom_vmap batch rules (FK and Gauss-Newton
+            # assembly, see models/fk.py and solver/al_ilqr.py) only engage
+            # under vmap, and the fully-unbatched graph of tiny
+            # (N,)-element ops sends the TPU compiler's layout pass into a
+            # multi-minute stall (measured: unbatched compile > 10 min,
+            # B=1 vmapped compile 7 s, identical numerics; CPU compiles
+            # both in seconds).
+            # ONE jitted vmapped solve shared by the single- and
+            # batch-entry APIs: a planner using both at B=1 would otherwise
+            # trace/compile the identical program twice (ADVICE r4)
+            solve_batched = jax.jit(jax.vmap(solve))
 
         def _solve1(xinit, params, z0, lam0):
             res = solve_batched(
@@ -127,7 +143,7 @@ class MPCPlanner:
         path = os.path.join(solvers_dir, name)
         if not os.path.isdir(path):
             raise SolverDoesNotExistError(path)
-        return cls(MpcProblem.from_solver_dir(path), debug=debug)
+        return cls(MpcProblem.from_solver_dir(path), debug=debug, solver_dir=path)
 
     # --------------------------------------------------------------- state
 

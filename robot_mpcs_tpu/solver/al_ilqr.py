@@ -496,14 +496,29 @@ def build_solver(
             Qww = lww_k + B_k.T @ Vxx @ B_k + reg * jnp.eye(nw, dtype=lx_k.dtype)
             qx = lx_k + A_k.T @ vx
             qw = lw_k + B_k.T @ vx
-            L = jnp.linalg.cholesky(Qww)
-            bad = jnp.any(jnp.isnan(L))
-            L_safe = jnp.where(bad, jnp.eye(nw, dtype=L.dtype), L)
-            solve_chol = lambda rhs: jax.scipy.linalg.cho_solve((L_safe, True), rhs)
-            # on a failed factorization emit a zero direction through this
-            # stage (the iteration-level reg escalation will retry)
-            k_ff = jnp.where(bad, jnp.zeros((nw,), qw.dtype), -solve_chol(qw))
-            K = jnp.where(bad, jnp.zeros((nw, nx), qw.dtype), -solve_chol(Qxw.T))
+            if nw <= 24:
+                # unrolled pure-jnp Cholesky (ops/linalg_small): no LAPACK
+                # custom calls -> AOT-serializable + fuses under vmap
+                from robot_mpcs_tpu.ops.linalg_small import chol_solve_unrolled
+
+                sol, bad = chol_solve_unrolled(
+                    Qww, jnp.concatenate([qw[:, None], Qxw.T], axis=1)
+                )
+                sol = jnp.where(bad, jnp.zeros_like(sol), -sol)
+                k_ff, K = sol[:, 0], sol[:, 1:]
+            else:
+                L = jnp.linalg.cholesky(Qww)
+                bad = jnp.any(jnp.isnan(L))
+                L_safe = jnp.where(bad, jnp.eye(nw, dtype=L.dtype), L)
+                solve_chol = lambda rhs: jax.scipy.linalg.cho_solve(
+                    (L_safe, True), rhs
+                )
+                # on a failed factorization emit a zero direction through
+                # this stage (the iteration-level reg escalation will retry)
+                k_ff = jnp.where(bad, jnp.zeros((nw,), qw.dtype), -solve_chol(qw))
+                K = jnp.where(
+                    bad, jnp.zeros((nw, nx), qw.dtype), -solve_chol(Qxw.T)
+                )
             vx_new = qx + Qxw @ k_ff + K.T @ qw + K.T @ Qww @ k_ff
             Vxx_new = Qxx + Qxw @ K + K.T @ Qxw.T + K.T @ Qww @ K
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)

@@ -12,8 +12,37 @@ from __future__ import annotations
 
 import os
 
+
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU (model + feature flags).
+
+    XLA's persistent-cache key does NOT include host CPU features; a CPU
+    AOT entry compiled on a machine with e.g. AMX/prefer-no-scatter
+    support loads on a lesser host with only a logged warning and then
+    dies with SIGILL/SIGSEGV at execution (observed when a cache written
+    on one CI machine was reused on another). Namespacing the default
+    cache directory per machine makes stale-by-machine entries invisible
+    instead of fatal.
+    """
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    ident += "|" + line.split(":", 1)[1].strip()
+                    if ident.count("|") >= 2:
+                        break
+    except OSError:
+        ident += "|" + (platform.processor() or "unknown")
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 _DEFAULT_DIR = os.environ.get(
-    "ROBOT_MPCS_TPU_CACHE", os.path.expanduser("~/.cache/robot_mpcs_tpu/xla")
+    "ROBOT_MPCS_TPU_CACHE",
+    os.path.expanduser(f"~/.cache/robot_mpcs_tpu/xla-{_machine_tag()}"),
 )
 
 

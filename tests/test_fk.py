@@ -149,3 +149,50 @@ def test_analytic_jacobian_matches_autodiff():
         # and the custom_jvp route agrees with jacfwd of the public fn
         J_pub = jax.jacfwd(lambda qq: kin.fk_pos_links(qq, links))(q)
         np.testing.assert_allclose(np.asarray(J_pub), np.asarray(J_ad), atol=1e-4)
+
+
+# ---------------------------------------------------------------- file parity
+
+
+REFERENCE_URDFS = {
+    # (urdf file in tests/data, root, end, base_type, extra links to check)
+    "panda": ("panda.urdf", "panda_link0", "panda_link7", "holonomic",
+              ["panda_link3", "panda_link5", "panda_link7"]),
+    "pointRobot": ("pointRobot.urdf", "world", "base_link", "holonomic",
+                   ["base_link"]),
+    "boxer": ("boxer_fk.urdf", "base_link", "ee_link", "diffdrive",
+              ["ee_link"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(REFERENCE_URDFS))
+def test_builtin_fk_matches_reference_urdf_file(name):
+    """Builtin joint tables == the reference's URDF files, numerically.
+
+    The builtin models (robot_mpcs_tpu/assets.py) replace the reference's
+    on-disk URDF assets (reference examples/assets/*/); this pins their FK
+    to the file-loaded kinematics over random configurations so a builtin
+    table edit can never silently drift from the assets the reference's
+    configs describe (VERDICT r4 item 9).
+    """
+    import os
+
+    fname, root, end, base, links = REFERENCE_URDFS[name]
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", fname)
+    file_kin = RobotKinematics.from_urdf_file(path, root, end, base_type=base)
+    builtin_kin = RobotKinematics(builtin_model(name), root, end, base)
+    assert file_kin.n == builtin_kin.n
+    np.testing.assert_allclose(
+        file_kin.joint_limits, builtin_kin.joint_limits, atol=1e-12
+    )
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(
+        rng.uniform(-1.5, 1.5, size=(16, file_kin.n)), jnp.float32
+    )
+    for link in links:
+        got = jax.vmap(lambda qq: builtin_kin.fk_pos(qq, link))(q)
+        want = jax.vmap(lambda qq: file_kin.fk_pos(qq, link))(q)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6,
+            err_msg=f"{name}:{link}",
+        )
