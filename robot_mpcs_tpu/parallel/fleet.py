@@ -50,6 +50,11 @@ class FleetState(NamedTuple):
     #: scripts/dissect_tail_r4.py: 7 of 9 persistent stalls converge from a
     #: cold start with the same budget).
     stall: jnp.ndarray
+    #: (B,) best goal distance each lane has ever reached — the reference
+    #: point of the local-minimum escape (see FleetRunner kick_*)
+    best_gdist: jnp.ndarray
+    #: (B,) int32 — consecutive steps without improving best_gdist
+    no_improve: jnp.ndarray
 
 
 class FleetMetrics(NamedTuple):
@@ -116,6 +121,9 @@ class FleetRunner:
         phase1_al_iterations: int = 2,
         rescue_tiers=None,
         stall_reset_after: int = 3,
+        kick_after: int = 25,
+        kick_gdist: float = 0.15,
+        kick_scale: float = 1.0,
     ):
         """``rescue_tiers``: optional cascade of straggler-rescue passes,
         each ``(capacity_ratio, max_al_iterations, max_ilqr_iterations)`` —
@@ -131,6 +139,19 @@ class FleetRunner:
         Persistent stalls are warm-start pathologies: measured on the panda
         fleet, 7 of 9 lanes that never converge warm do converge cold
         (scripts/dissect_tail_r4.py).
+
+        ``kick_after``/``kick_gdist``/``kick_scale``: local-minimum escape.
+        A lane whose SOLVER converges but whose goal distance has not
+        improved for ``kick_after`` consecutive steps while still
+        ``> kick_gdist`` away is parked in a local minimum of the nonconvex
+        problem (typically orbiting an obstacle barrier — short-horizon
+        local MPC cannot see around it; the reference's single-scenario
+        planner has the identical failure mode and no answer to it). Such
+        lanes get a randomized warm-start kick: zero-mean noise of scale
+        ``kick_scale`` (control units) on the shifted control trajectory
+        plus a multiplier reset — a random restart into a different basin,
+        re-attempted every ``kick_after`` steps until the lane improves.
+        ``kick_scale=0`` disables.
         """
         # fleet_step is a large XLA program (minutes cold on TPU with the
         # scalarized solver graphs); persistent-cache it like the planner
@@ -149,13 +170,29 @@ class FleetRunner:
         self._n_groups = self.mesh.devices.size
         b_loc = batch_size // self._n_groups
         self._stall_reset_after = int(stall_reset_after)
+        self._kick_after = int(kick_after)
+        self._kick_gdist = float(kick_gdist)
+        self._kick_scale = float(kick_scale)
 
         import dataclasses
 
         if rescue_tiers is None:
+            # Production default from the round-5 v5e sweep
+            # (scripts/sweep_tiers_r5.py, B=4096 panda): a 1/8-width rescue
+            # with a 1.25x budget and a 4-deep backtracking line search
+            # converges the tail the single-probe LM search cannot polish —
+            # 61.3k solves/s/chip @ converged 0.966 (the quality acceptance
+            # bar is >= 0.95, VERDICT r4). The frontier, for retuning:
+            # (8,4,8,1) 77.2k @ 0.907; (8,5,10,4) 61.3k @ 0.966;
+            # (8,6,12,4) 54.7k @ 0.980; (8,6,12,8) 45.9k @ 0.982;
+            # (6,6,12,8) 37.7k @ 0.994 overflow 0; (4,6,12,8) 33.4k @ 0.995.
             rescue_tiers = (
-                [(compaction_ratio, base_cfg.max_al_iterations,
-                  base_cfg.max_ilqr_iterations)]
+                [(
+                    compaction_ratio,
+                    max(5, base_cfg.max_al_iterations),
+                    max(10, base_cfg.max_ilqr_iterations),
+                    max(4, base_cfg.line_search_steps),
+                )]
                 if compaction_ratio
                 else []
             )
@@ -212,7 +249,10 @@ class FleetRunner:
         dims = self.dims
         nu, nx, ns = dims.nu, dims.nx, dims.ns
 
-        def post_step(x, res_z, res_lam, exitflag, violation, stall, params):
+        def post_step(
+            x, res_z, res_lam, exitflag, violation, stall, params,
+            best_gdist, no_improve,
+        ):
             # Failure handling: a diverged/heavily-violated plan must not be
             # executed or fed back as the next warm start (the reference only
             # prints on exitflag < 0, mpcPlanner.py:263-264, and its examples
@@ -250,7 +290,26 @@ class FleetRunner:
                 gdist = jnp.linalg.norm(self._fk_ee(q)[: dims.m] - goal[: dims.m])
             else:
                 gdist = jnp.zeros((), x.dtype)
-            return x_next, z_shift, lam_shift, gdist, ~ok, stall_next
+            # local-minimum escape bookkeeping: a lane that keeps SOLVING
+            # fine but whose goal distance has plateaued short of the goal
+            # is parked in a nonconvex local minimum (obstacle-barrier
+            # orbit) — flag it for a randomized warm-start kick
+            improved = gdist < best_gdist - 5e-3
+            best_new = jnp.minimum(best_gdist, gdist)
+            ni_next = jnp.where(improved, 0, no_improve + 1)
+            kick = (
+                (ni_next >= self._kick_after)
+                & (gdist > self._kick_gdist)
+                & (self._kick_scale > 0.0)
+                if self._has_goal and self._kick_after > 0
+                else jnp.asarray(False)
+            )
+            ni_next = jnp.where(kick, 0, ni_next)
+            lam_shift = jnp.where(kick, jnp.zeros_like(lam_shift), lam_shift)
+            return (
+                x_next, z_shift, lam_shift, gdist, ~ok, stall_next,
+                best_new, ni_next, kick,
+            )
 
         def rescue_stragglers(x, params, res, solve_fn, k):
             """Gather each shard's worst unconverged lanes into a compact
@@ -341,12 +400,28 @@ class FleetRunner:
                 res, overflow_fraction = rescue_stragglers(
                     state.x, scenario.params, res, solve_t, k_t
                 )
-            x_next, z_shift, lam_shift, gdist, was_reset, stall_next = jax.vmap(
-                post_step
-            )(
+            (
+                x_next, z_shift, lam_shift, gdist, was_reset, stall_next,
+                best_gdist, no_improve, kick,
+            ) = jax.vmap(post_step)(
                 state.x, res.z, res.lam, res.exitflag, res.violation,
-                state.stall, scenario.params,
+                state.stall, scenario.params, state.best_gdist,
+                state.no_improve,
             )
+            # randomized restart for plateaued lanes: zero-mean control
+            # noise pushes the warm start into a different basin; the next
+            # solve re-optimizes from there (multipliers were already reset
+            # in post_step). Key folded on the step counter: deterministic
+            # per step, fresh draw each retry.
+            if self._kick_scale > 0.0:
+                noise = self._kick_scale * jax.random.normal(
+                    jax.random.fold_in(jax.random.PRNGKey(0x5EED), state.step),
+                    z_shift[..., dims.nx :].shape,
+                    z_shift.dtype,
+                )
+                z_shift = z_shift.at[..., dims.nx :].add(
+                    jnp.where(kick[:, None, None], noise, 0.0)
+                )
             # Reductions mask out failed lanes: one NaN lane (the exact
             # fault-injection scenario test_fleet exercises) must not poison
             # the whole-batch aggregates — reset_fraction reports the failures.
@@ -379,7 +454,7 @@ class FleetRunner:
             )
             new_state = FleetState(
                 x=x_next, z_warm=z_shift, lam=lam_shift, step=state.step + 1,
-                stall=stall_next,
+                stall=stall_next, best_gdist=best_gdist, no_improve=no_improve,
             )
             return new_state, metrics
 
@@ -403,18 +478,20 @@ class FleetRunner:
         # non-fully-addressable arrays are not allowed). jit outputs are
         # fresh buffers, so fleet_step's donation cannot alias the caller's
         # scenario.xinit.
-        @partial(jax.jit, out_shardings=(sh, sh, sh, sh))
+        @partial(jax.jit, out_shardings=(sh, sh, sh, sh, sh, sh))
         def _init(x):
             z0 = jnp.zeros((B, dims.N, dims.nz), jnp.float32)
             z0 = z0.at[:, :, : dims.nx].set(x[:, None, :])
             lam = jnp.zeros((B, dims.N, self.problem.n_con), jnp.float32)
             stall = jnp.zeros((B,), jnp.int32)
-            return x + 0.0, z0, lam, stall
+            best = jnp.full((B,), jnp.inf, jnp.float32)
+            ni = jnp.zeros((B,), jnp.int32)
+            return x + 0.0, z0, lam, stall, best, ni
 
-        x, z_warm, lam, stall = _init(xinit)
+        x, z_warm, lam, stall, best, ni = _init(xinit)
         return FleetState(
             x=x, z_warm=z_warm, lam=lam, step=jnp.zeros((), jnp.int32),
-            stall=stall,
+            stall=stall, best_gdist=best, no_improve=ni,
         )
 
     def shard_scenario(self, scenario: FleetScenario) -> FleetScenario:

@@ -68,6 +68,8 @@ def save_fleet_state(path: str, state, extra: Optional[dict] = None) -> None:
         "lam": lam,
         "step": np.asarray(host.step),
         "stall": np.asarray(host.stall),
+        "best_gdist": np.asarray(host.best_gdist),
+        "no_improve": np.asarray(host.no_improve),
         "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     }
     directory = os.path.dirname(os.path.abspath(path)) or "."
@@ -126,6 +128,18 @@ def load_fleet_state(path: str, mesh=None, problem=None, batch_size=None):
             if "stall" in data
             else jnp.zeros((x.shape[0],), jnp.int32)
         )
+        # escape-bookkeeping fields absent in pre-r5 checkpoints: neutral
+        # defaults (never-improved-from-infinity, zero plateau counter)
+        best_gdist = (
+            jnp.asarray(data["best_gdist"])
+            if "best_gdist" in data
+            else jnp.full((x.shape[0],), jnp.inf, jnp.float32)
+        )
+        no_improve = (
+            jnp.asarray(data["no_improve"])
+            if "no_improve" in data
+            else jnp.zeros((x.shape[0],), jnp.int32)
+        )
     dims_meta = meta.get("dims")
     if dims_meta is not None and (problem is not None or batch_size is not None):
         expect = {}
@@ -145,9 +159,16 @@ def load_fleet_state(path: str, mesh=None, problem=None, batch_size=None):
             )
     if mesh is not None:
         sharded = shard_batch(
-            mesh, {"x": x, "z_warm": z_warm, "lam": lam, "stall": stall}
+            mesh,
+            {
+                "x": x, "z_warm": z_warm, "lam": lam, "stall": stall,
+                "best_gdist": best_gdist, "no_improve": no_improve,
+            },
         )
         state = FleetState(step=step, **sharded)
     else:
-        state = FleetState(x=x, z_warm=z_warm, lam=lam, step=step, stall=stall)
+        state = FleetState(
+            x=x, z_warm=z_warm, lam=lam, step=step, stall=stall,
+            best_gdist=best_gdist, no_improve=no_improve,
+        )
     return state, meta["extra"]

@@ -49,12 +49,12 @@ def test_panda_fleet_reaches_goals_long_horizon():
         obstacle_box=((-0.8, -0.8, 0.2), (0.8, 0.8, 1.0)),
         reachable_goals=True,
     )
-    # 150 steps = 7.5 s sim time: measured transient reaches mean 0.063 m
-    # at step 150 and 0.045 m at step 300; a handful of lanes (~7/64) orbit
-    # the obstacle barrier in a local minimum — inherent to short-horizon
-    # local MPC (the reference's single-scenario planner has the same
-    # failure mode), so the bar is the fleet MEAN, not the max.
-    state, metrics = runner.run(scenario, n_steps=150)
+    # 300 steps = 15 s sim time. Pre-r5, ~7/64 lanes orbited the obstacle
+    # barrier in a local minimum forever (recorded in VERDICT r4 item 5);
+    # the randomized warm-start kick (FleetRunner kick_*) re-seeds
+    # plateaued lanes into different basins, so stuck lanes are now a
+    # hard-bounded tail, asserted per-lane below.
+    state, metrics = runner.run(scenario, n_steps=300)
 
     assert float(metrics.reset_fraction) == 0.0
     # the fleet's steady state: arms parked on their goals
@@ -62,6 +62,25 @@ def test_panda_fleet_reaches_goals_long_horizon():
         f"mean goal distance {float(metrics.mean_goal_distance):.3f}"
     )
     assert float(metrics.converged_fraction) > 0.95
+
+    # per-lane tail bound (VERDICT r4 item 5): at most 2/64 lanes may
+    # remain > 0.2 m from their goal after the escape mechanism
+    pm_ = problem.param_map
+    params0_ = np.asarray(jax.device_get(scenario.params))[:, 0]
+    g_start, g_k = pm_.entries["goal"]
+    goals = params0_[:, g_start : g_start + g_k]
+    xs_ = np.asarray(jax.device_get(state.x))
+    ee = np.asarray(
+        jax.jit(
+            jax.vmap(lambda qq: problem.kin.fk_pos(qq, problem.robot.end_link))
+        )(jax.numpy.asarray(xs_[:, : problem.dims.n]))
+    )
+    lane_gdist = np.linalg.norm(ee[:, :g_k] - goals, axis=1)
+    n_stuck = int((lane_gdist > 0.2).sum())
+    assert n_stuck <= 2, (
+        f"{n_stuck}/64 lanes stuck > 0.2 m from goal: "
+        f"{np.sort(lane_gdist)[-6:]}"
+    )
 
     # no self-collision anywhere in the final fleet state
     pairs = problem.robot.self_collision_pairs
