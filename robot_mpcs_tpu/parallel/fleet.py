@@ -124,6 +124,7 @@ class FleetRunner:
         kick_after: int = 25,
         kick_gdist: float = 0.15,
         kick_scale: float = 1.0,
+        artifact_dir: Optional[str] = None,
     ):
         """``rescue_tiers``: optional cascade of straggler-rescue passes,
         each ``(capacity_ratio, max_al_iterations, max_ilqr_iterations)`` —
@@ -201,6 +202,7 @@ class FleetRunner:
         # separate compiled solver) — NOT silently: warn, because lanes that
         # would have been rescued now simply run phase 1's budget only.
         tiers = []
+        tier_spec = []
         for tier in rescue_tiers:
             # (ratio, al, ilqr[, line_search_steps]) — a deeper line search
             # in the narrow rescue batch costs little (merit sweeps at B/8)
@@ -228,7 +230,11 @@ class FleetRunner:
                 line_search_steps=int(ls),
             )
             tiers.append((k_loc, problem.build_solver(cfg_t)))
+            tier_spec.append((int(ratio), int(al_it), int(ilqr_it), int(ls)))
         self._tiers = tiers
+        #: resolved tier schedule (ratio, al, ilqr, ls) — part of the AOT
+        #: artifact fingerprint (utils/aot.py)
+        self._tier_spec = tier_spec
         self._k_loc = tiers[0][0] if tiers else 0  # back-compat (tests)
         if tiers:
             cfg1 = dataclasses.replace(
@@ -460,6 +466,26 @@ class FleetRunner:
 
         self._fleet_step = fleet_step
 
+        # AOT-exported fleet step from an artifact directory, when present
+        # and fingerprint-compatible (batch/mesh/tiers/recovery knobs):
+        # skips the Python trace of the full fleet program in this process
+        if artifact_dir is not None:
+            from robot_mpcs_tpu.utils.aot import load_fleet_step
+
+            loaded = load_fleet_step(self, artifact_dir)
+            if loaded is not None:
+                self._fleet_step = loaded
+
+    # ------------------------------------------------------------ artifact
+
+    def export_step(self, path: str):
+        """Serialize this runner's compiled-shape fleet step into ``path``
+        (see utils/aot.py). A future process constructing an identically
+        configured FleetRunner with ``artifact_dir=path`` skips tracing."""
+        from robot_mpcs_tpu.utils.aot import export_fleet_step
+
+        return export_fleet_step(self, path)
+
     # ----------------------------------------------------------------- API
 
     def init_state(self, scenario: FleetScenario) -> FleetState:
@@ -500,13 +526,24 @@ class FleetRunner:
     def step(self, state: FleetState, scenario: FleetScenario):
         return self._fleet_step(state, scenario)
 
-    def run(self, scenario: FleetScenario, n_steps: int):
-        """Run the fleet for n_steps; returns (final state, last metrics)."""
+    def run(self, scenario: FleetScenario, n_steps: int, sync_every: int = 16):
+        """Run the fleet for n_steps; returns (final state, last metrics).
+
+        ``sync_every``: host-sync cadence. Unbounded async dispatch of
+        hundreds of queued steps reliably wedges the XLA:CPU runtime on
+        small hosts (each step's 8-virtual-device collectives compete for
+        the same threadpool; observed: 300 queued steps deadlock on a
+        2-core machine, 50 are fine). A periodic block costs ~one relay
+        round trip per ``sync_every`` steps and bounds the in-flight queue
+        on every backend. 0 disables.
+        """
         scenario = self.shard_scenario(scenario)
         state = self.init_state(scenario)
         metrics = None
-        for _ in range(n_steps):
+        for i in range(n_steps):
             state, metrics = self.step(state, scenario)
+            if sync_every and i % sync_every == sync_every - 1:
+                jax.block_until_ready(metrics)
         return state, metrics
 
 

@@ -30,6 +30,9 @@ import yaml
 #: artifact-relative filename of the exported B=1 planner program
 PLANNER_EXPORT = "planner_solve_b1.jaxexport"
 EXPORT_META = "export_meta.yaml"
+#: artifact-relative filenames of the exported fleet step
+FLEET_EXPORT = "fleet_step.jaxexport"
+FLEET_META = "fleet_meta.yaml"
 
 _registered = False
 
@@ -41,14 +44,23 @@ def _register_serializations() -> None:
         return
     from jax import export as jexport
 
+    from robot_mpcs_tpu.parallel.fleet import (
+        FleetMetrics,
+        FleetScenario,
+        FleetState,
+    )
     from robot_mpcs_tpu.solver.types import SolveResult
 
-    try:
-        jexport.register_namedtuple_serialization(
-            SolveResult, serialized_name="robot_mpcs_tpu.SolveResult"
-        )
-    except ValueError:
-        pass  # already registered under this name
+    for cls, name in (
+        (SolveResult, "robot_mpcs_tpu.SolveResult"),
+        (FleetState, "robot_mpcs_tpu.FleetState"),
+        (FleetScenario, "robot_mpcs_tpu.FleetScenario"),
+        (FleetMetrics, "robot_mpcs_tpu.FleetMetrics"),
+    ):
+        try:
+            jexport.register_namedtuple_serialization(cls, serialized_name=name)
+        except ValueError:
+            pass  # already registered under this name
     _registered = True
 
 
@@ -143,5 +155,93 @@ def load_planner_solve(problem, path: str, batch: int = 1) -> Optional[Callable]
 
         warnings.warn(
             f"ignoring unreadable AOT export at {blob_path} ({e})", stacklevel=2
+        )
+        return None
+
+
+# ------------------------------------------------------------- fleet step
+
+
+def _fleet_fingerprint(runner) -> dict:
+    return {
+        **_abi_fingerprint(runner.problem, runner.batch),
+        "n_devices": int(runner.mesh.devices.size),
+        "tiers": [list(t) for t in runner._tier_spec],
+        "stall_reset_after": int(runner._stall_reset_after),
+        "kick": [
+            int(runner._kick_after),
+            float(runner._kick_gdist),
+            float(runner._kick_scale),
+        ],
+    }
+
+
+def export_fleet_step(runner, path: str) -> Optional[str]:
+    """Serialize the runner's full jitted fleet step (batched phase-1 solve
+    + rescue tiers + plant integration + warm-start shift + metric
+    reductions) into ``path``. The fingerprint pins batch size, mesh width,
+    tier schedule, and recovery knobs."""
+    from jax import export as jexport
+
+    _register_serializations()
+    try:
+        scenario = _example_fleet_args(runner)
+        state = runner.init_state(scenario)
+        exported = jexport.export(runner._fleet_step)(state, scenario)
+        blob = exported.serialize()
+    except Exception as e:  # noqa: BLE001 - export is best-effort
+        import warnings
+
+        warnings.warn(
+            f"fleet AOT export failed ({e}); runner will jit at load",
+            stacklevel=2,
+        )
+        return None
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, FLEET_EXPORT)
+    with open(out, "wb") as f:
+        f.write(blob)
+    with open(os.path.join(path, FLEET_META), "w") as f:
+        yaml.dump(_fleet_fingerprint(runner), f)
+    return out
+
+
+def _example_fleet_args(runner):
+    from robot_mpcs_tpu.parallel.fleet import FleetScenario
+    from robot_mpcs_tpu.parallel.mesh import shard_batch
+
+    d = runner.dims
+    B = runner.batch
+    return shard_batch(
+        runner.mesh,
+        FleetScenario(
+            xinit=jnp.zeros((B, d.nx), jnp.float32),
+            params=jnp.zeros((B, d.N, runner.problem.npar), jnp.float32),
+        ),
+    )
+
+
+def load_fleet_step(runner, path: str) -> Optional[Callable]:
+    """Load a compatible exported fleet step for ``runner``, or None."""
+    blob_path = os.path.join(path, FLEET_EXPORT)
+    meta_path = os.path.join(path, FLEET_META)
+    if not (os.path.isfile(blob_path) and os.path.isfile(meta_path)):
+        return None
+    try:
+        with open(meta_path) as f:
+            if yaml.safe_load(f) != _fleet_fingerprint(runner):
+                return None
+        from jax import export as jexport
+
+        _register_serializations()
+        with open(blob_path, "rb") as f:
+            exported = jexport.deserialize(f.read())
+        return jax.jit(exported.call, donate_argnums=(0,))
+    except Exception as e:  # noqa: BLE001
+        import warnings
+
+        warnings.warn(
+            f"ignoring unreadable fleet AOT export at {blob_path} ({e})",
+            stacklevel=2,
         )
         return None

@@ -145,3 +145,78 @@ def test_fresh_process_loads_without_retrace(artifact):
     # < 10 s; allow CI slack (shared machines) while still catching a
     # fallback into multi-minute retrace+recompile
     assert cold_s < 60.0, f"cold-process first solve took {cold_s}s"
+
+
+def test_fleet_step_export_roundtrip(tmp_path):
+    """FleetRunner.export_step / artifact_dir round trip, fresh process."""
+    from robot_mpcs_tpu.parallel.fleet import FleetRunner, random_fleet_scenario
+    from robot_mpcs_tpu.parallel.mesh import make_mesh
+
+    setup = load_setup(config_path("pointRobotMpc.yaml"))
+    problem = MpcProblem(setup)
+    import jax
+
+    runner = FleetRunner(
+        problem, batch_size=16, mesh=make_mesh(devices=jax.devices()[:2]),
+        rescue_tiers=[], kick_scale=0.0,
+    )
+    out = runner.export_step(str(tmp_path))
+    assert out is not None and os.path.isfile(out)
+
+    worker = textwrap.dedent(
+        f"""
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from robot_mpcs_tpu.config import load_setup
+        from robot_mpcs_tpu.models.problem import MpcProblem
+        from robot_mpcs_tpu.parallel.fleet import FleetRunner, random_fleet_scenario
+        from robot_mpcs_tpu.parallel.mesh import make_mesh
+        from robot_mpcs_tpu.utils import aot
+
+        aot_load = aot.load_fleet_step
+        loads = []
+        def counting_load(*a, **k):
+            fn = aot_load(*a, **k)
+            loads.append(fn is not None)
+            return fn
+        aot.load_fleet_step = counting_load
+
+        setup = load_setup({config_path("pointRobotMpc.yaml")!r})
+        setup.mpc.weights["wconstr"] = [0.005, 0.0, 0.0, 0.0]
+        problem = MpcProblem(setup)
+        runner = FleetRunner(
+            problem, batch_size=16,
+            mesh=make_mesh(devices=jax.devices()[:2]),
+            rescue_tiers=[], kick_scale=0.0,
+            artifact_dir={str(tmp_path)!r},
+        )
+        assert loads == [True], f"fleet export not used: {{loads}}"
+        scen = runner.shard_scenario(random_fleet_scenario(problem, 16, seed=3))
+        state = runner.init_state(scen)
+        state, metrics = runner.step(state, scen)
+        jax.block_until_ready(metrics)
+        assert float(metrics.reset_fraction) == 0.0
+        print("FLEET_EXPORT_OK", float(metrics.converged_fraction))
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    out2 = subprocess.run(
+        [sys.executable, "-c", worker],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out2.returncode == 0, out2.stdout + out2.stderr
+    assert "FLEET_EXPORT_OK" in out2.stdout, out2.stdout
