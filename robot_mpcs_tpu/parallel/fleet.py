@@ -318,12 +318,13 @@ class FleetRunner:
             )
 
         def rescue_stragglers(x, params, res, solve_fn, k):
-            """Gather each shard's worst unconverged lanes into a compact
+            """Gather this device's worst unconverged lanes into a compact
             k-wide sub-batch, re-solve warm with ``solve_fn``'s budget,
-            scatter back. All reshapes are aligned with the batch sharding
-            (leading axis split over the mesh), so every gather/scatter
-            stays on-chip."""
-            G = self._n_groups
+            scatter back. Runs on the LOCAL shard (inside shard_map), so
+            every gather/scatter stays on-chip by construction. Returns the
+            updated result plus local (overflow_count, bad_count) for the
+            cross-device capacity telemetry."""
+            G = 1
             B = x.shape[0]
 
             def grp(t):  # (B, ...) -> (G, B_loc, ...)
@@ -337,11 +338,11 @@ class FleetRunner:
             score = jnp.where(jnp.isfinite(score), score, 2e3)
             idx = jax.lax.top_k(grp(score), k)[1]  # (G, k)
             # capacity telemetry: bad lanes beyond the k rescue slots of
-            # their shard are NOT re-solved this step. Report the dropped
-            # fraction instead of truncating silently (metric below).
+            # this shard are NOT re-solved this step. Report the dropped
+            # counts instead of truncating silently (metric below).
             n_bad = jnp.sum(grp(bad), axis=1)  # (G,)
             overflow = jnp.sum(jnp.maximum(0, n_bad - k))
-            overflow_fraction = overflow / jnp.maximum(1, jnp.sum(n_bad))
+            bad_total = jnp.sum(n_bad)
 
             def gather(t):
                 tg = grp(t)
@@ -390,20 +391,40 @@ class FleetRunner:
                     ),
                     violation0_raw=merge(res.violation0_raw, res2.violation0_raw),
                 ),
-                overflow_fraction,
+                overflow,
+                bad_total,
             )
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def fleet_step(state: FleetState, scenario: FleetScenario):
+        # ---- per-device step body (runs inside shard_map) ----------------
+        # Each device advances ITS shard independently: the solver's
+        # batched while_loops trip-count over local lanes only (per-device
+        # early exit — one slow chip no longer pins the others in
+        # lockstep), the rescue gather/scatter is chip-local by
+        # construction, and the ONLY cross-device communication is the
+        # handful of scalar metric reductions below. Under plain
+        # jit-over-sharded-arrays every while_loop condition was a
+        # batch-wide reduction, i.e. one all-reduce per solver iteration —
+        # free on ICI, ruinous over DCN/gloo (SCALING.md, 2-process row).
+        axis = self.mesh.axis_names[0]
+        B_total = float(batch_size)
+
+        def gsum(v):
+            return jax.lax.psum(v, axis)
+
+        def gmax(v):
+            return jax.lax.pmax(v, axis)
+
+        def local_step(state: FleetState, scenario: FleetScenario):
             res = jax.vmap(self._solve)(
                 state.x, scenario.params, state.z_warm, state.lam
             )
             # overflow is reported for the LAST tier: bad lanes the final
             # (widest-budget) pass had no slot for — the lanes that truly
             # went un-rescued this step
-            overflow_fraction = jnp.zeros((), jnp.float32)
+            overflow = jnp.zeros((), jnp.int32)
+            bad_total = jnp.zeros((), jnp.int32)
             for k_t, solve_t in self._tiers:
-                res, overflow_fraction = rescue_stragglers(
+                res, overflow, bad_total = rescue_stragglers(
                     state.x, scenario.params, res, solve_t, k_t
                 )
             (
@@ -417,13 +438,15 @@ class FleetRunner:
             # randomized restart for plateaued lanes: zero-mean control
             # noise pushes the warm start into a different basin; the next
             # solve re-optimizes from there (multipliers were already reset
-            # in post_step). Key folded on the step counter: deterministic
-            # per step, fresh draw each retry.
+            # in post_step). Key folded on (step, device) so every retry
+            # and every shard draws fresh, uncorrelated noise.
             if self._kick_scale > 0.0:
-                noise = self._kick_scale * jax.random.normal(
+                key = jax.random.fold_in(
                     jax.random.fold_in(jax.random.PRNGKey(0x5EED), state.step),
-                    z_shift[..., dims.nx :].shape,
-                    z_shift.dtype,
+                    jax.lax.axis_index(axis),
+                )
+                noise = self._kick_scale * jax.random.normal(
+                    key, z_shift[..., dims.nx :].shape, z_shift.dtype
                 )
                 z_shift = z_shift.at[..., dims.nx :].add(
                     jnp.where(kick[:, None, None], noise, 0.0)
@@ -432,30 +455,43 @@ class FleetRunner:
             # fault-injection scenario test_fleet exercises) must not poison
             # the whole-batch aggregates — reset_fraction reports the failures.
             ok = ~was_reset
-            n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
+            n_ok = jnp.maximum(gsum(jnp.sum(ok.astype(jnp.float32))), 1.0)
 
             def ok_mean(v):
-                return jnp.sum(jnp.where(ok, v, 0.0)) / n_ok
+                return gsum(jnp.sum(jnp.where(ok, v, 0.0))) / n_ok
 
             conv = res.exitflag == 1
             stalled = res.exitflag == 0
 
             def class_max(v, mask):
-                return jnp.max(jnp.where(mask, v, 0.0))
+                return gmax(jnp.max(jnp.where(mask, v, 0.0)))
 
+            ovf = gsum(overflow).astype(jnp.float32)
             metrics = FleetMetrics(
-                converged_fraction=jnp.mean(conv.astype(jnp.float32)),
+                converged_fraction=gsum(jnp.sum(conv.astype(jnp.float32)))
+                / B_total,
                 mean_cost=ok_mean(res.cost),
-                max_violation=jnp.max(jnp.where(ok, res.violation, 0.0)),
+                max_violation=gmax(jnp.max(jnp.where(ok, res.violation, 0.0))),
                 max_violation_converged=class_max(res.violation, conv),
                 max_violation_unconverged=class_max(res.violation, stalled),
                 mean_goal_distance=ok_mean(gdist),
-                reset_fraction=jnp.mean(was_reset.astype(jnp.float32)),
-                mean_iterations=jnp.mean(res.iterations.astype(jnp.float32)),
-                max_iterations=jnp.max(res.iterations),
-                rescue_overflow_fraction=overflow_fraction,
-                max_violation0_raw=jnp.max(
-                    jnp.where(jnp.isfinite(res.violation0_raw), res.violation0_raw, 0.0)
+                reset_fraction=gsum(jnp.sum(was_reset.astype(jnp.float32)))
+                / B_total,
+                mean_iterations=gsum(
+                    jnp.sum(res.iterations.astype(jnp.float32))
+                )
+                / B_total,
+                max_iterations=gmax(jnp.max(res.iterations)),
+                rescue_overflow_fraction=ovf
+                / jnp.maximum(1.0, gsum(bad_total).astype(jnp.float32)),
+                max_violation0_raw=gmax(
+                    jnp.max(
+                        jnp.where(
+                            jnp.isfinite(res.violation0_raw),
+                            res.violation0_raw,
+                            0.0,
+                        )
+                    )
                 ),
             )
             new_state = FleetState(
@@ -463,6 +499,31 @@ class FleetRunner:
                 stall=stall_next, best_gdist=best_gdist, no_improve=no_improve,
             )
             return new_state, metrics
+
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        b = P(axis)
+        r = P()
+        state_specs = FleetState(
+            x=b, z_warm=b, lam=b, step=r, stall=b, best_gdist=b, no_improve=b
+        )
+        scen_specs = FleetScenario(xinit=b, params=b)
+        metric_specs = FleetMetrics(*([r] * len(FleetMetrics._fields)))
+        sharded_step = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(state_specs, scen_specs),
+            out_specs=(state_specs, metric_specs),
+            check_vma=False,
+        )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def fleet_step(state: FleetState, scenario: FleetScenario):
+            return sharded_step(state, scenario)
 
         self._fleet_step = fleet_step
 
