@@ -209,3 +209,52 @@ def test_straggler_compaction_rescues_unconverged(point_problem):
         1 + cfg.max_al_iterations
     ) * cfg.max_ilqr_iterations
     assert np.isfinite(float(m_rescued.mean_cost))
+
+
+def test_plateau_kick_fires_and_perturbs(point_problem):
+    """Local-minimum escape: a lane whose goal distance plateaus while far
+    from goal gets a randomized warm-start kick (controls perturbed,
+    multipliers zeroed, plateau counter reset); lanes near their goal or
+    still improving are untouched."""
+    import jax.numpy as jnp
+
+    from robot_mpcs_tpu.parallel.mesh import make_mesh
+
+    B = 8
+    runner = FleetRunner(
+        point_problem, batch_size=B, mesh=make_mesh(devices=jax.devices()[:2]),
+        rescue_tiers=[], kick_after=3, kick_gdist=0.15, kick_scale=0.5,
+    )
+    scenario = random_fleet_scenario(
+        point_problem, B, seed=5,
+        goal_box=((3.0, 3.0, 0.05), (4.0, 4.0, 0.05)),  # far goals
+        obstacle_box=((50.0, 50.0, 0.05), (51.0, 51.0, 0.05)),
+    )
+    scen = runner.shard_scenario(scenario)
+    state = runner.init_state(scen)
+    # freeze the plant: zero out goal weights so the fleet cannot move
+    # toward the goal -> gdist plateaus by construction
+    pm = point_problem.param_map
+    params = np.asarray(jax.device_get(scen.params)).copy()
+    start, k = pm.entries["wgoal"]
+    params[:, :, start : start + k] = 0.0
+    scen = scen._replace(params=runner.shard_scenario(
+        type(scen)(xinit=scen.xinit, params=jnp.asarray(params))).params)
+
+    kicked_z = None
+    for i in range(8):
+        state, metrics = runner.step(state, scen)
+        ni = np.asarray(jax.device_get(state.no_improve))
+        if i >= 3 and kicked_z is None and (ni == 0).any():
+            # the counter reset to 0 while gdist stayed large: the kick
+            # fired THIS step, so this state's warm start carries the noise
+            # (the NEXT solve will optimize it away again — that is the
+            # point of a restart)
+            kicked_z = np.asarray(jax.device_get(state.z_warm))
+    assert kicked_z is not None, "plateaued lanes were never kicked"
+    # the kick must actually perturb the control tail of the warm start:
+    # with zero goal weight and no obstacle, an unkicked fleet keeps a
+    # (near-)zero control plan; kicked lanes carry injected noise
+    dims = point_problem.dims
+    w_tail = np.abs(kicked_z[:, :, dims.nx :])
+    assert w_tail.max() > 1e-2, "kick noise never reached the warm start"
