@@ -220,3 +220,34 @@ def test_fleet_step_export_roundtrip(tmp_path):
     )
     assert out2.returncode == 0, out2.stdout + out2.stderr
     assert "FLEET_EXPORT_OK" in out2.stdout, out2.stdout
+
+
+def test_reference_compatible_planner_constructor(tmp_path):
+    """``MPCPlanner.from_solver_dir(robotType, solversDir, **mpc_config)``
+    — the reference's constructor convention (reference mpcPlanner.py:32-56
+    reconstructs the solver directory name from config fields) — must find
+    the artifact minted by ``generate_solver`` and use its AOT export."""
+    from robot_mpcs_tpu.planner.mpc_planner import (
+        MPCPlanner,
+        SolverDoesNotExistError,
+    )
+
+    setup = load_setup(config_path("pointRobotMpc.yaml"))
+    problem = MpcProblem(setup)
+    problem.generate_solver(str(tmp_path))
+
+    mpc_cfg = dict(
+        n=setup.mpc.n,
+        time_step=setup.mpc.time_step,
+        time_horizon=setup.mpc.time_horizon,
+        slack=setup.mpc.slack,
+    )
+    planner = MPCPlanner.from_solver_dir("pointRobot", str(tmp_path), **mpc_cfg)
+    planner.reset()
+    planner.setGoalReaching([1.0, 0.0, 0.0])
+    planner.concretize()
+    action, _, flag = planner.computeAction(np.zeros(3), np.zeros(3))
+    assert flag >= 0 and np.all(np.isfinite(np.asarray(action)))
+
+    with pytest.raises(SolverDoesNotExistError):
+        MPCPlanner.from_solver_dir("pointRobot", str(tmp_path / "nope"), **mpc_cfg)
