@@ -184,7 +184,9 @@ class FleetRunner:
             # converges the tail the single-probe LM search cannot polish —
             # 61.3k solves/s/chip @ converged 0.966 (the quality acceptance
             # bar is >= 0.95, VERDICT r4). The frontier, for retuning:
-            # (8,4,8,1) 77.2k @ 0.907; (8,5,10,4) 61.3k @ 0.966;
+            # (8,4,8,1) 77.2k @ 0.907; (8,5,10,2) 66.5k @ 0.959 (thin
+            # margin + a diverging rescue lane — rejected); (8,4,10,4)
+            # 65.7k @ 0.937 (below bar); (8,5,10,4) 61.3k @ 0.966;
             # (8,6,12,4) 54.7k @ 0.980; (8,6,12,8) 45.9k @ 0.982;
             # (6,6,12,8) 37.7k @ 0.994 overflow 0; (4,6,12,8) 33.4k @ 0.995.
             rescue_tiers = (

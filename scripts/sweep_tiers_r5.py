@@ -39,6 +39,9 @@ CONFIGS = {
     "w8_b510_ls4": dict(rescue_tiers=[(8, 5, 10, 4)]),
     "w8_b612_ls4": dict(rescue_tiers=[(8, 6, 12, 4)]),
     "w8_b610_ls6": dict(rescue_tiers=[(8, 6, 10, 6)]),
+    # round-3 probes: shave the line search / AL budget below (8,5,10,4)
+    "w8_b510_ls2": dict(rescue_tiers=[(8, 5, 10, 2)]),
+    "w8_b410_ls4": dict(rescue_tiers=[(8, 4, 10, 4)]),
 }
 
 
