@@ -189,6 +189,10 @@ class FleetRunner:
             # 65.7k @ 0.937 (below bar); (8,5,10,4) 61.3k @ 0.966;
             # (8,6,12,4) 54.7k @ 0.980; (8,6,12,8) 45.9k @ 0.982;
             # (6,6,12,8) 37.7k @ 0.994 overflow 0; (4,6,12,8) 33.4k @ 0.995.
+            # Quality-first alternative: the mop-up cascade
+            # [(8,5,10,4), (16,5,10,4)] reaches 52.6k @ 0.9915 with ZERO
+            # rescue overflow — pass it explicitly when the tail matters
+            # more than ~15% throughput.
             rescue_tiers = (
                 [(
                     compaction_ratio,

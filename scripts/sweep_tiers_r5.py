@@ -42,6 +42,8 @@ CONFIGS = {
     # round-3 probes: shave the line search / AL budget below (8,5,10,4)
     "w8_b510_ls2": dict(rescue_tiers=[(8, 5, 10, 2)]),
     "w8_b410_ls4": dict(rescue_tiers=[(8, 4, 10, 4)]),
+    # mop-up cascade: second 1/16-width tier for the overflow tail
+    "cascade_mop": dict(rescue_tiers=[(8, 5, 10, 4), (16, 5, 10, 4)]),
 }
 
 
