@@ -113,33 +113,63 @@ def _sync(metrics) -> float:
     return float(metrics.converged_fraction)
 
 
-def _warm_and_measure(runner, state, scenario, steps, warmup_max, note):
+def _warm_and_measure(
+    runner, state, scenario, steps, warmup_max, note, warmup_budget_s=240.0
+):
     """Warm a fleet executable to steady state, then measure throughput.
 
     Through the remote-TPU relay the first 1-2 executions of a freshly
     loaded executable run ~1000x slower than steady state (binary upload /
     program load on the device host). Warm up with per-step host syncs
-    until a step runs in <1.5 s (minimum 2, cap ``warmup_max``), then time
-    ``steps`` asynchronously-chained steps behind one final sync —
+    until a step runs in <1.5 s (minimum 2, cap ``warmup_max`` steps AND
+    ``warmup_budget_s`` wall seconds — on a pathologically slow relay day
+    the headline must still print, even if it then underestimates), then
+    time ``steps`` asynchronously-chained steps behind one final sync —
     exactly how a fleet runs in production.
     """
     warm_times = []
     metrics = None
-    for _ in range(max(2, warmup_max)):
+    t_warm = time.perf_counter()
+    for _ in range(max(3, warmup_max)):
         t1 = time.perf_counter()
         state, metrics = runner.step(state, scenario)
         _sync(metrics)
         warm_times.append(time.perf_counter() - t1)
-        if len(warm_times) >= 2 and warm_times[-1] < 1.5:
+        # require TWO consecutive fast steps: the relay's slow-execution
+        # count varies (usually 2, sometimes 3) and a single fast step is
+        # not proof of steady state
+        if (
+            len(warm_times) >= 3
+            and warm_times[-1] < 1.5
+            and warm_times[-2] < 1.5
+        ):
             break
-    t1 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = runner.step(state, scenario)
-    jax.block_until_ready(metrics)
-    _sync(metrics)
-    elapsed = time.perf_counter() - t1
-    note[f"warmup_steps"] = len(warm_times)
-    note[f"warmup_s"] = round(sum(warm_times), 1)
+        if time.perf_counter() - t_warm > warmup_budget_s:
+            note["warmup_truncated"] = True
+            break
+
+    def _measure():
+        t1 = time.perf_counter()
+        st = state
+        m = metrics
+        for _ in range(steps):
+            st, m = runner.step(st, scenario)
+        jax.block_until_ready(m)
+        _sync(m)
+        return st, m, time.perf_counter() - t1
+
+    state, metrics, elapsed = _measure()
+    # contamination guard: if a stray slow execution landed inside the
+    # measured window (elapsed far above what the last warm step implies),
+    # the window itself completed the warmup — measure once more and keep
+    # the clean number
+    if warm_times[-1] < 1.5 and elapsed > 5.0 * steps * max(
+        warm_times[-1], 0.05
+    ):
+        note["remeasured"] = True
+        state, metrics, elapsed = _measure()
+    note["warmup_steps"] = len(warm_times)
+    note["warmup_s"] = round(sum(warm_times), 1)
     return state, metrics, elapsed
 
 
