@@ -44,6 +44,9 @@ CONFIGS = {
     "w8_b410_ls4": dict(rescue_tiers=[(8, 4, 10, 4)]),
     # mop-up cascade: second 1/16-width tier for the overflow tail
     "cascade_mop": dict(rescue_tiers=[(8, 5, 10, 4), (16, 5, 10, 4)]),
+    # deeper phase 1 (3 AL passes) with lighter rescue
+    "p3_light": dict(phase1_al_iterations=3, rescue_tiers=[(8, 4, 8, 4)]),
+    "p3_b510": dict(phase1_al_iterations=3, rescue_tiers=[(8, 5, 10, 4)]),
 }
 
 
